@@ -1,0 +1,55 @@
+"""Camera model.
+
+Pinhole camera with world->camera extrinsics, equivalent to the reference's
+Camera (/root/reference/gsplat/gausplat_dataset.py:14-27) but registered as a
+JAX pytree: extrinsics/intrinsics are traced leaves (no recompile per view),
+while width/height are static metadata (shapes depend on them).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["Rcw", "tcw", "fx", "fy", "cx", "cy"],
+    meta_fields=["width", "height", "id"],
+)
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    Rcw: jax.Array  # [3,3] world->camera rotation
+    tcw: jax.Array  # [3] world->camera translation
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    width: int
+    height: int
+    id: int = 0
+
+    @property
+    def twc(self):
+        """Camera center in world coordinates: -Rcw^T tcw."""
+        if isinstance(self.Rcw, jnp.ndarray):
+            return -jnp.matmul(
+                jnp.swapaxes(self.Rcw, -1, -2), self.tcw, precision=jax.lax.Precision.HIGHEST
+            )
+        return -np.swapaxes(self.Rcw, -1, -2) @ self.tcw
+
+    @staticmethod
+    def from_dict(d, dtype=jnp.float32):
+        return Camera(
+            Rcw=jnp.asarray(d["Rcw"], dtype),
+            tcw=jnp.asarray(d["tcw"], dtype),
+            fx=jnp.asarray(d["fx"], dtype),
+            fy=jnp.asarray(d["fy"], dtype),
+            cx=jnp.asarray(d["cx"], dtype),
+            cy=jnp.asarray(d["cy"], dtype),
+            width=int(d["width"]),
+            height=int(d["height"]),
+            id=int(d.get("id", 0)),
+        )

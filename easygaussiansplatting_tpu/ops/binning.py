@@ -1,0 +1,122 @@
+"""Tile binning: fixed-capacity, sort-based, fully jittable.
+
+TPU-native replacement for the reference's getRects -> inclusive_scan ->
+createKeys -> thrust::sort_by_key -> getRanges chain
+(/root/reference/gsplatcu/gausplat.cu:24-112, kernel.cu:46-150), redesigned
+for static shapes:
+
+* Gaussians are argsorted by depth once (N elements), so patch expansion in
+  depth order only needs a *stable* sort by tile id afterwards — replacing
+  the reference's 64-bit (tile << 32 | mm-quantised-depth) radix keys with an
+  exact-depth ordering (see golden/model.py for the contract note).
+* Patch expansion into a fixed budget of `max_patches` slots is a vectorised
+  searchsorted over the inclusive count cumsum — no dynamic shapes, no host
+  round-trip for the total (the reference reads the scan result back on the
+  host, gausplat.cu:67).
+* Per-tile [start, end) ranges are a searchsorted over the sorted tile keys.
+
+Overflow policy: if the true patch count exceeds `max_patches`, the patches
+of the *deepest* Gaussians are dropped (they are the least visible under
+front-to-back blending); `n_dropped` reports the loss — no silent truncation.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # pixels per tile edge (parity with reference BLOCK, common.cuh:13)
+
+
+def num_tiles(width, height, tile=TILE):
+    gx = -(-width // tile)
+    gy = -(-height // tile)
+    return gx, gy
+
+
+def gaussian_rects(us, areas, valid, width, height, tile=TILE):
+    """Tile-space rects [N,4] (x0,y0,x1,y1) and updated validity.
+
+    Parity: getRects (/root/reference/gsplatcu/kernel.cu:82-122).
+    """
+    gx, gy = num_tiles(width, height, tile)
+    x0 = jnp.clip(jnp.floor((us[:, 0] - areas[:, 0]) / tile), 0, gx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((us[:, 1] - areas[:, 1]) / tile), 0, gy).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((us[:, 0] + areas[:, 0]) / tile), 0, gx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((us[:, 1] + areas[:, 1]) / tile), 0, gy).astype(jnp.int32)
+    n = (x1 - x0) * (y1 - y0)
+    valid = valid & (n > 0)
+    return jnp.stack([x0, y0, x1, y1], axis=1), valid
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "max_patches"))
+def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_patches):
+    """Build the per-tile draw lists.
+
+    Returns dict:
+      patch_gsid  [max_patches] int32 — original Gaussian index per patch,
+                  sorted by (tile, depth); padding slots hold -1.
+      tile_start  [T] int32, tile_cnt [T] int32 — per-tile ranges.
+      total       int32 — true number of patches (before capping).
+      n_dropped   int32 — patches beyond capacity (0 in healthy runs).
+    """
+    n = us.shape[0]
+    gx, gy = num_tiles(width, height, tile)
+    n_tiles = gx * gy
+
+    # Depth-sort the gaussians (invalid ones to the back).
+    order = jnp.argsort(jnp.where(valid, depths, jnp.inf), stable=True).astype(jnp.int32)
+    rects, valid = gaussian_rects(us, areas, valid, width, height, tile)
+    rects_s = rects[order]
+    valid_s = valid[order]
+
+    x0, y0, x1, y1 = rects_s[:, 0], rects_s[:, 1], rects_s[:, 2], rects_s[:, 3]
+    w = x1 - x0
+    counts = jnp.where(valid_s, w * (y1 - y0), 0).astype(jnp.int32)
+    cum = jnp.cumsum(counts)  # inclusive
+    total = cum[-1]
+
+    # Expand: slot m belongs to the first sorted gaussian whose cumsum > m.
+    m = jnp.arange(max_patches, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, m, side="right").astype(jnp.int32)
+    g = jnp.minimum(g, n - 1)
+    offset = cum[g] - counts[g]  # exclusive cumsum at g
+    local = m - offset
+    wsafe = jnp.maximum(w[g], 1)
+    ty = y0[g] + local // wsafe
+    tx = x0[g] + local % wsafe
+    in_range = m < jnp.minimum(total, max_patches)
+    tile_id = jnp.where(in_range, ty * gx + tx, n_tiles).astype(jnp.int32)
+    gsid = jnp.where(in_range, order[g], -1)
+
+    # Stable sort by tile id keeps depth order within each tile.
+    tile_sorted, gsid_sorted = jax.lax.sort(
+        (tile_id, gsid), dimension=0, is_stable=True, num_keys=1
+    )
+
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
+
+    return {
+        "patch_gsid": gsid_sorted,
+        "patch_tile": tile_sorted,
+        "tile_start": tile_start,
+        "tile_cnt": tile_end - tile_start,
+        "total": total,
+        "n_dropped": jnp.maximum(total - max_patches, 0),
+    }
+
+
+@partial(jax.jit, static_argnames=("max_per_tile",))
+def dense_tile_lists(binning, *, max_per_tile):
+    """[T, K] dense per-tile gaussian-index lists (-1 padded) from binning
+    output. Convenience layout for the reference rasteriser and tests."""
+    tile_start = binning["tile_start"]
+    tile_cnt = binning["tile_cnt"]
+    gsid = binning["patch_gsid"]
+    k = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    idx = tile_start[:, None] + k
+    ok = k < tile_cnt[:, None]
+    idx = jnp.clip(idx, 0, gsid.shape[0] - 1)
+    return jnp.where(ok, gsid[idx], -1)

@@ -1,0 +1,74 @@
+"""Unified differentiable render API with selectable rasteriser backend.
+
+This is the layer the training loop and user code call — the JAX counterpart
+of the reference's GSFunction (/root/reference/gsplat/gsmodel.py:6-93), with
+autodiff replacing the saved-Jacobian plumbing.
+
+Backends:
+  "tiled"  — vectorised tiled rasteriser, plain AD (ops/rasterize_tiled.py)
+  "dense"  — O(N*H*W) scan rasteriser, plain AD (tests/tiny scenes)
+  "pallas" — Pallas TPU kernels under jax.custom_vjp (ops/pallas)
+
+`us_offset` (zeros, [N,2]) is added to the projected screen positions so
+grad(loss, us_offset) yields the per-Gaussian screen-space gradient used by
+densification — the reference achieves the same with a dummy `us` tensor
+(gsmodel.py:196-199).
+"""
+
+import jax
+
+from easygaussiansplatting_tpu.ops import stages
+
+
+def render(
+    pws, shs, alphas, scales, rots, cam,
+    alive=None, us_offset=None, sh_degree=3, backend="tiled",
+    tile=16, max_patches=2**18, k_chunk=64, n_chunks=16,
+):
+    """Returns (image [3,H,W], aux dict)."""
+    aux = stages.preprocess(pws, shs, alphas, scales, rots, cam, alive=alive, sh_degree=sh_degree)
+    us = aux["us"]
+    if us_offset is not None:
+        us = us + us_offset
+        aux["us"] = us
+
+    if backend == "dense":
+        from easygaussiansplatting_tpu.ops.rasterize_ref import rasterize_dense
+
+        image, contrib, final_tau = rasterize_dense(
+            us, aux["cinv2ds"], aux["alphas"], aux["colors"], aux["depths"],
+            aux["areas"], aux["valid"], width=cam.width, height=cam.height, tile=tile,
+        )
+        return image, {**aux, "contrib": contrib, "final_tau": final_tau}
+
+    from easygaussiansplatting_tpu.ops.binning import bin_gaussians
+
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(us),
+        jax.lax.stop_gradient(aux["depths"]),
+        jax.lax.stop_gradient(aux["areas"]),
+        aux["valid"],
+        width=cam.width, height=cam.height, tile=tile, max_patches=max_patches,
+    )
+
+    if backend == "tiled":
+        from easygaussiansplatting_tpu.ops.rasterize_tiled import rasterize_tiled
+
+        image, raux = rasterize_tiled(
+            us, aux["cinv2ds"], aux["alphas"], aux["colors"],
+            binning["patch_gsid"], binning["tile_start"], binning["tile_cnt"],
+            width=cam.width, height=cam.height, tile=tile,
+            k_chunk=k_chunk, n_chunks=n_chunks,
+        )
+    elif backend == "pallas":
+        from easygaussiansplatting_tpu.ops.pallas.rasterize import rasterize_pallas
+
+        image, raux = rasterize_pallas(
+            us, aux["cinv2ds"], aux["alphas"], aux["colors"],
+            binning["patch_gsid"], binning["tile_start"], binning["tile_cnt"],
+            width=cam.width, height=cam.height, tile=tile, k_chunk=k_chunk,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    return image, {**aux, **raux, "binning": binning}
