@@ -1,0 +1,54 @@
+"""Training configuration.
+
+Centralises every hyper-parameter the reference hard-codes (SURVEY.md §5:
+LRs gsmodel.py:117-127, thresholds gsmodel.py:175-179, loss lambda
+pytorch_ssim.py:64, schedule train.py:40-77). The defaults ARE the reference
+recipe — the parity preset.
+"""
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # epochs / cadence (reference train.py:40-77)
+    epochs: int = 100
+    densify_every_epochs: int = 5
+    densify_until_epoch: int = 50
+    reset_alpha_every_epochs: int = 15
+    save_every_epochs: int = 10
+
+    # learning rates (reference gsmodel.py:117-127, 181-184)
+    lr_low_shs: float = 1e-3
+    lr_high_shs: float = 1e-3 / 20.0
+    lr_alphas: float = 0.05
+    lr_scales: float = 5e-3
+    lr_rots: float = 1e-3
+    lr_pws_init_scale: float = 1e-4   # * scene_size
+    lr_pws_final_scale: float = 1e-6  # * scene_size
+    lr_delay_mult: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-15  # reference train.py:32
+
+    # densification thresholds (reference gsmodel.py:175-179)
+    grad_threshold: float = 4e-7
+    scale_threshold_scale: float = 0.01   # * scene_size
+    alpha_threshold: float = 0.005
+    big_threshold_scale: float = 0.1      # * scene_size
+    reset_alpha_val: float = 0.01
+    split_scale_factor: float = 0.6       # gsmodel.py:282
+
+    # loss (reference pytorch_ssim.py:64)
+    loss_lambda: float = 0.2
+
+    # rasteriser
+    backend: str = "tiled"
+    tile: int = 16
+    max_patches: int = 2**18
+    k_chunk: int = 64
+    n_chunks: int = 16
+    sh_degree: int = 3
+
+    # pool
+    capacity_headroom: float = 4.0  # initial capacity = headroom * n_init

@@ -1,0 +1,170 @@
+"""Training layer: Adam parity with torch, densify/prune semantics, and a
+tiny end-to-end training run that must improve PSNR."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easygaussiansplatting_tpu.models.gaussians import GaussianPool, pool_from_arrays
+from easygaussiansplatting_tpu.train import (
+    TrainConfig,
+    adam_init,
+    adam_update,
+    densify_and_prune,
+    density_stats_init,
+    reset_alpha,
+    train,
+)
+from easygaussiansplatting_tpu.train.density import DensityStats
+from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene, render_gt_images
+from easygaussiansplatting_tpu.utils.activations import get_alphas_raw, get_scales_raw
+from easygaussiansplatting_tpu.utils.image import psnr
+
+
+def test_adam_matches_torch(rng):
+    """Our masked Adam == torch.optim.Adam (the reference optimizer) on a
+    quadratic, eps=1e-15 outside the sqrt."""
+    import torch
+
+    x0 = rng.normal(size=(5, 3)).astype(np.float32)
+    target = rng.normal(size=(5, 3)).astype(np.float32)
+
+    xt = torch.tensor(x0, requires_grad=True)
+    opt = torch.optim.Adam([xt], lr=0.05, eps=1e-15)
+    xj = {"pws": jnp.asarray(x0)}
+    state = adam_init(xj)
+    lr_fns = {"pws": lambda step: 0.05}
+
+    for _ in range(10):
+        opt.zero_grad()
+        loss = ((xt - torch.tensor(target)) ** 2).sum()
+        loss.backward()
+        opt.step()
+
+        g = {"pws": 2.0 * (xj["pws"] - jnp.asarray(target))}
+        xj, state = adam_update(g, state, xj, lr_fns)
+
+    np.testing.assert_allclose(np.asarray(xj["pws"]), xt.detach().numpy(), atol=1e-5)
+
+
+def _make_pool(n=8, cap=16, rng=None):
+    rng = rng or np.random.default_rng(0)
+    return pool_from_arrays(
+        pws=rng.normal(size=(n, 3)),
+        rots=np.tile([1.0, 0, 0, 0], (n, 1)),
+        scales=np.full((n, 3), 0.05),
+        alphas=np.full(n, 0.9),
+        shs=rng.normal(size=(n, 3)),
+        capacity=cap,
+    )
+
+
+def test_prune_low_alpha():
+    pool = _make_pool()
+    pool.alphas_raw = pool.alphas_raw.at[2].set(get_alphas_raw(0.001))  # below 0.005
+    state = adam_init(pool.params())
+    state.mu["pws"] = state.mu["pws"] + 1.0  # nonzero state everywhere
+    stats = density_stats_init(pool.capacity)
+    cfg = TrainConfig()
+    new_pool, new_state, _, report = densify_and_prune(
+        pool, state, stats, jax.random.PRNGKey(0), 1.0, cfg
+    )
+    assert int(report["n_pruned"]) == 1
+    assert not bool(new_pool.alive[2])
+    # pruned row's adam state zeroed
+    assert float(jnp.abs(new_state.mu["pws"][2]).sum()) == 0.0
+    assert float(jnp.abs(new_state.mu["pws"][3]).sum()) > 0.0
+
+
+def test_clone_and_split_fill_free_slots():
+    pool = _make_pool(n=8, cap=16)
+    state = adam_init(pool.params())
+    cfg = TrainConfig()
+    scene_size = 1.0
+    # gaussian 0: high grad + small scale -> clone; gaussian 1: high grad +
+    # big scale (but below prune threshold 0.1) -> split
+    pool.scales_raw = pool.scales_raw.at[1].set(get_scales_raw(0.05))
+    pool.scales_raw = pool.scales_raw.at[0].set(get_scales_raw(0.005))
+    stats = DensityStats(
+        grad_accum=jnp.zeros(16).at[0].set(1.0).at[1].set(1.0),
+        cunt=jnp.ones(16, jnp.int32),
+    )
+    new_pool, _, _, report = densify_and_prune(
+        pool, state, stats, jax.random.PRNGKey(1), scene_size, cfg
+    )
+    assert int(report["n_cloned"]) == 1
+    assert int(report["n_split"]) == 1
+    assert int(report["n_alive"]) == 10
+    # clone of gaussian 0 is an exact copy in a free slot
+    new_idx = np.where(np.asarray(new_pool.alive)[8:])[0] + 8
+    assert len(new_idx) == 2
+    vals = np.asarray(new_pool.pws)[new_idx]
+    assert np.allclose(vals[0], np.asarray(pool.pws)[0])  # clone copies pws
+    # split entry has 0.6x scales
+    split_scales = np.exp(np.asarray(new_pool.scales_raw)[new_idx[1]])
+    np.testing.assert_allclose(split_scales, 0.05 * 0.6, rtol=1e-5)
+
+
+def test_densify_respects_capacity():
+    pool = _make_pool(n=8, cap=9)  # only one free slot
+    state = adam_init(pool.params())
+    stats = DensityStats(grad_accum=jnp.ones(9), cunt=jnp.ones(9, jnp.int32))
+    cfg = TrainConfig()
+    new_pool, _, _, report = densify_and_prune(
+        pool, state, stats, jax.random.PRNGKey(2), 1.0, cfg
+    )
+    assert int(report["n_alive"]) == 9
+    assert int(report["n_dropped"]) == int(report["n_cloned"]) + int(report["n_split"]) - 1
+
+
+def test_reset_alpha():
+    pool = _make_pool()
+    state = adam_init(pool.params())
+    state.mu["alphas_raw"] = state.mu["alphas_raw"] + 3.0
+    cfg = TrainConfig()
+    new_pool, new_state = reset_alpha(pool, state, cfg)
+    from easygaussiansplatting_tpu.utils.activations import get_alphas
+
+    a = np.asarray(get_alphas(new_pool.alphas_raw))[np.asarray(new_pool.alive)]
+    assert np.all(a <= 0.01 + 1e-6)
+    assert float(jnp.abs(new_state.mu["alphas_raw"]).sum()) == 0.0
+
+
+def test_end_to_end_training_improves_psnr():
+    """A 3-epoch run on a tiny synthetic scene must reduce loss and raise
+    PSNR — the minimum end-to-end slice (SURVEY.md §7 M1)."""
+    cfg = dataclasses.replace(
+        TrainConfig(), epochs=3, max_patches=4096, k_chunk=32, n_chunks=4,
+        densify_every_epochs=100, reset_alpha_every_epochs=100,
+    )
+    scene = make_synthetic_scene(seed=3, n_gaussians=48, n_cams=4, width=48, height=32)
+    gt_images = render_gt_images(scene, cfg)
+
+    rng = np.random.default_rng(5)
+    pool = pool_from_arrays(
+        pws=scene["pws"] + rng.normal(size=scene["pws"].shape) * 0.05,
+        rots=scene["rots"],
+        scales=scene["scales"] * 1.3,
+        alphas=np.full(len(scene["alphas"]), 0.5),
+        shs=scene["shs"] * 0.5,
+        capacity=64,
+    )
+
+    img0, _ = __import__(
+        "easygaussiansplatting_tpu.train.loop", fromlist=["render_pool_image"]
+    ).render_pool_image(pool, scene["cameras"][0], cfg)
+    psnr0 = float(psnr(jnp.clip(img0, 0, 1), jnp.clip(gt_images[0], 0, 1)))
+
+    pool, hist = train(
+        pool, scene["cameras"], gt_images, cfg, scene["scene_size"],
+        log_fn=lambda *_: None, eval_every=100,
+    )
+    assert hist["loss"][-1] < hist["loss"][0]
+
+    from easygaussiansplatting_tpu.train.loop import render_pool_image
+
+    img1, _ = render_pool_image(pool, scene["cameras"][0], cfg)
+    psnr1 = float(psnr(jnp.clip(img1, 0, 1), jnp.clip(gt_images[0], 0, 1)))
+    assert psnr1 > psnr0 + 0.5, f"psnr {psnr0} -> {psnr1}"
