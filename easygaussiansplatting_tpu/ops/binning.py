@@ -108,6 +108,46 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     }
 
 
+@partial(jax.jit, static_argnames=("k_chunk", "capacity"))
+def align_tile_ranges(binning, *, k_chunk, capacity):
+    """Re-pack the sorted patch list so every tile's draw list is padded to a
+    multiple of k_chunk and starts chunk-aligned.
+
+    Alignment lets the Pallas kernels DMA fixed-size chunks and write
+    per-patch gradients to disjoint, aligned HBM ranges (no atomics, no
+    read-modify-write hazards). Padding slots carry gsid = -1.
+
+    `capacity` must be >= max_patches + n_tiles * k_chunk, which is the exact
+    worst case — with that bound nothing beyond the original binning overflow
+    is ever dropped.
+
+    Returns dict: aligned_gsid [capacity] int32, tile_start [T] (aligned),
+    tile_n_chunks [T] int32, total int32.
+    """
+    gsid = binning["patch_gsid"]
+    tile = binning["patch_tile"]
+    start = binning["tile_start"]
+    cnt = binning["tile_cnt"]
+    m = gsid.shape[0]
+    n_tiles = start.shape[0]
+
+    pad_cnt = ((cnt + k_chunk - 1) // k_chunk) * k_chunk
+    new_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(pad_cnt)[:-1].astype(jnp.int32)])
+    total = jnp.sum(pad_cnt)
+
+    i = jnp.arange(m, dtype=jnp.int32)
+    tsafe = jnp.minimum(tile, n_tiles - 1)
+    valid = gsid >= 0
+    newpos = jnp.where(valid, new_start[tsafe] + (i - start[tsafe]), capacity)
+    aligned = jnp.full(capacity, -1, jnp.int32).at[newpos].set(gsid, mode="drop")
+    return {
+        "aligned_gsid": aligned,
+        "tile_start": new_start,
+        "tile_n_chunks": (pad_cnt // k_chunk).astype(jnp.int32),
+        "total": total,
+    }
+
+
 @partial(jax.jit, static_argnames=("max_per_tile",))
 def dense_tile_lists(binning, *, max_per_tile):
     """[T, K] dense per-tile gaussian-index lists (-1 padded) from binning

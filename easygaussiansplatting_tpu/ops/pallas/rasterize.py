@@ -1,0 +1,187 @@
+"""Differentiable Pallas rasterisation: packing, custom_vjp, and pallas_call
+plumbing.
+
+The autodiff boundary sits around the packed per-patch attribute array: the
+gather (gaussian attrs -> patch order) is built with differentiable JAX ops
+*outside* the custom_vjp, so its transpose — a deterministic scatter-add over
+patch gsids — is synthesised by XLA and plays the role of the reference's
+atomicAdd accumulation plus the Python matmul chain entry point
+(/root/reference/gsplat/gsmodel.py:52-93). Inside the custom_vjp, forward and
+backward are the Pallas kernels from kernels.py.
+"""
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from easygaussiansplatting_tpu.ops.binning import align_tile_ranges
+from easygaussiansplatting_tpu.ops.pallas.kernels import (
+    GRAD_ROWS,
+    PACK_ROWS,
+    backward_kernel,
+    forward_kernel,
+)
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
+def _fwd_call(packed_T, tile_start, tile_n_chunks, *, n_tiles, gx, tile, k, interpret):
+    p = tile * tile
+    kern = functools.partial(forward_kernel, gx=gx, tile=tile, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_n_chunks, packed_T)
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
+def _bwd_call(packed_T, tile_start, tile_n_chunks, g_tiles, tau_tiles, cont_tiles,
+              *, n_tiles, gx, tile, k, interpret):
+    p = tile * tile
+    m_pad = packed_T.shape[1]
+    kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, GRAD_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m_pad), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_n_chunks, packed_T, g_tiles, tau_tiles, cont_tiles)[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _raster_packed(dims, packed_T, tile_start, tile_n_chunks):
+    n_tiles, gx, tile, k, interpret = dims
+    return _fwd_call(
+        packed_T, tile_start, tile_n_chunks,
+        n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
+    )
+
+
+def _raster_packed_fwd(dims, packed_T, tile_start, tile_n_chunks):
+    n_tiles, gx, tile, k, interpret = dims
+    image, tau, cont = _fwd_call(
+        packed_T, tile_start, tile_n_chunks,
+        n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
+    )
+    return (image, tau, cont), (packed_T, tile_start, tile_n_chunks, tau, cont)
+
+
+def _raster_packed_bwd(dims, res, cotangents):
+    n_tiles, gx, tile, k, interpret = dims
+    packed_T, tile_start, tile_n_chunks, tau, cont = res
+    g_img, _, _ = cotangents  # gradients w.r.t. tau/contrib are not propagated
+    grads_T = _bwd_call(
+        packed_T, tile_start, tile_n_chunks, g_img, tau, cont,
+        n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
+    )
+    return grads_T, None, None
+
+
+_raster_packed.defvjp(_raster_packed_fwd, _raster_packed_bwd)
+
+
+def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
+                     tile=16, k_chunk=256, interpret=None):
+    """Pallas-backed stage 6.
+
+    `binning` is the dict from ops.binning.bin_gaussians. Returns
+    (image [3,H,W], aux with contrib [H,W] int32 and final_tau [H,W]).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    gx = -(-width // tile)
+    gy = -(-height // tile)
+    n_tiles = gx * gy
+    p = tile * tile
+
+    m = binning["patch_gsid"].shape[0]
+    capacity = m + n_tiles * k_chunk
+    aligned = align_tile_ranges(binning, k_chunk=k_chunk, capacity=capacity)
+    gsid = aligned["aligned_gsid"]
+    gsafe = jnp.maximum(gsid, 0)
+    live = gsid >= 0
+
+    # Differentiable packing: transpose of these gathers = deterministic
+    # scatter-add of the per-patch gradients back onto the gaussians. Every
+    # row is masked by `live`, so cotangents of padding slots and of the
+    # *unwritten* tail of the kernel's gradient buffer are dropped.
+    rows = [
+        jnp.where(live, us[gsafe, 0], 0.0),
+        jnp.where(live, us[gsafe, 1], 0.0),
+        jnp.where(live, cinv2ds[gsafe, 0], 0.0),
+        jnp.where(live, cinv2ds[gsafe, 1], 0.0),
+        jnp.where(live, cinv2ds[gsafe, 2], 0.0),
+        jnp.where(live, alphas[gsafe], 0.0),
+        jnp.where(live, colors[gsafe, 0], 0.0),
+        jnp.where(live, colors[gsafe, 1], 0.0),
+        jnp.where(live, colors[gsafe, 2], 0.0),
+    ]
+    pad = jnp.zeros((PACK_ROWS - len(rows), capacity), jnp.float32)
+    packed_T = jnp.concatenate([jnp.stack(rows, axis=0), pad], axis=0)
+
+    dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
+    image_t, tau_t, cont_t = _raster_packed(
+        dims, packed_T, aligned["tile_start"], aligned["tile_n_chunks"]
+    )
+
+    # [T,3,P] -> [3,H,W]
+    img = image_t.reshape(gy, gx, 3, tile, tile)
+    img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(3, gy * tile, gx * tile)
+    img = img[:, :height, :width]
+    tau = tau_t.reshape(gy, gx, tile, tile)
+    tau = jnp.transpose(tau, (0, 2, 1, 3)).reshape(gy * tile, gx * tile)[:height, :width]
+    cont = cont_t.reshape(gy, gx, tile, tile)
+    cont = jnp.transpose(cont, (0, 2, 1, 3)).reshape(gy * tile, gx * tile)[:height, :width]
+
+    aux = {
+        "contrib": cont,
+        "final_tau": tau,
+        "n_aligned_total": aligned["total"],
+    }
+    return img, aux

@@ -64,8 +64,7 @@ def render(
         from easygaussiansplatting_tpu.ops.pallas.rasterize import rasterize_pallas
 
         image, raux = rasterize_pallas(
-            us, aux["cinv2ds"], aux["alphas"], aux["colors"],
-            binning["patch_gsid"], binning["tile_start"], binning["tile_cnt"],
+            us, aux["cinv2ds"], aux["alphas"], aux["colors"], binning,
             width=cam.width, height=cam.height, tile=tile, k_chunk=k_chunk,
         )
     else:
