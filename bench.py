@@ -1,0 +1,95 @@
+"""Headline benchmark: forward+backward rasterisation throughput per chip.
+
+Renders a synthetic scene at the reference evaluation resolution (979x546,
+/root/reference/forward_cpu.py:19-27) through the full differentiable
+pipeline (stages 1-5 + Pallas tile rasterisation + L1/DSSIM loss) and times
+jitted fwd+bwd steps. Prints ONE JSON line:
+
+    {"metric": "fwd_bwd_throughput", "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against a fixed anchor of 10 Mpix/s — roughly the per-image rate implied by
+the reference recipe (100 epochs x ~250 images of ~0.5 Mpix in a few hours on
+one CUDA GPU).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_ANCHOR_MPIX_S = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene
+    from easygaussiansplatting_tpu.ops.loss import gau_loss
+    from easygaussiansplatting_tpu.ops.rasterize import render
+
+    on_tpu = jax.default_backend() == "tpu"
+    width, height = 979, 546
+    n_gaussians = 65536
+    if not on_tpu:  # smoke-test sizing for CPU runs
+        width, height = 160, 112
+        n_gaussians = 1024
+
+    scene = make_synthetic_scene(
+        seed=0, n_gaussians=n_gaussians, n_cams=1, width=width, height=height
+    )
+    cam = scene["cameras"][0]
+    n = scene["pws"].shape[0]
+    shs = np.zeros((n, 48), np.float32)
+    shs[:, :3] = scene["shs"]
+
+    params = (
+        jnp.asarray(scene["pws"], jnp.float32),
+        jnp.asarray(shs, jnp.float32),
+        jnp.asarray(scene["alphas"], jnp.float32),
+        jnp.asarray(scene["scales"], jnp.float32),
+        jnp.asarray(scene["rots"], jnp.float32),
+    )
+    gt = jnp.zeros((3, height, width), jnp.float32)
+    backend = "pallas"
+    max_patches = 2**20 if on_tpu else 2**14
+
+    @jax.jit
+    def step(params, gt):
+        def loss_fn(params):
+            image, _ = render(
+                *params, cam, backend=backend, tile=16,
+                max_patches=max_patches, k_chunk=256,
+            )
+            return gau_loss(image, gt)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    # warmup / compile
+    loss, grads = step(params, gt)
+    jax.block_until_ready((loss, grads))
+
+    iters = 10 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(params, gt)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    mpix_s = width * height * iters / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "fwd_bwd_throughput",
+                "value": round(mpix_s, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / BASELINE_ANCHOR_MPIX_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -126,7 +126,16 @@ def forward_kernel(start_ref, nchunk_ref, packed_hbm, img_ref, tau_ref, cont_ref
     tau0 = jnp.ones((p, 1), jnp.float32)
     col0 = jnp.zeros((3, p), jnp.float32)
     cont0 = jnp.zeros((p, 1), jnp.int32)
-    _, tau, col, cont = jax.lax.while_loop(cond, body, (jnp.int32(0), tau0, col0, cont0))
+    c_exit, tau, col, cont = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tau0, col0, cont0)
+    )
+
+    # Early exit (tau saturated) can leave the next chunk's prefetch in
+    # flight; every started DMA must complete before the kernel ends or the
+    # TPU aborts. (Interpret mode does not model this.)
+    @pl.when((c_exit > 0) & (c_exit < n_chunks))
+    def _():
+        get_dma(jax.lax.rem(c_exit, 2), c_exit).wait()
 
     img_ref[0] = col
     tau_ref[0] = tau

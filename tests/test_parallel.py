@@ -1,0 +1,112 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The key contract (SURVEY.md §4 implication (d)): the sharded batched train
+step produces the same parameters as the equivalent single-device batched
+step — sharding must be a pure layout change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene, render_gt_images
+from easygaussiansplatting_tpu.models.gaussians import pool_from_arrays
+from easygaussiansplatting_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_pool,
+    stack_cameras,
+)
+from easygaussiansplatting_tpu.parallel.train import shard_batch
+from easygaussiansplatting_tpu.train.config import TrainConfig
+from easygaussiansplatting_tpu.train.density import density_stats_init
+from easygaussiansplatting_tpu.train.optimizer import adam_init
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+)
+
+CONFIG = TrainConfig(backend="tiled", tile=16, max_patches=2**12, k_chunk=32, n_chunks=8)
+
+
+def _setup(b, cap_round):
+    scene = make_synthetic_scene(seed=3, n_gaussians=48, n_cams=max(b, 2), width=32, height=32)
+    cap = ((64 + cap_round - 1) // cap_round) * cap_round
+    pool = pool_from_arrays(
+        scene["pws"], scene["rots"], scene["scales"], scene["alphas"], scene["shs"],
+        capacity=cap,
+    )
+    gts = render_gt_images(scene, CONFIG)
+    cams = scene["cameras"][:b]
+    bcam = stack_cameras(cams)
+    gt = jnp.stack(gts[:b])
+    return scene, pool, bcam, gt
+
+
+def _run(mesh, pool, bcam, gt, scene_size, n_steps=2):
+    step = make_sharded_train_step(mesh, CONFIG, scene_size, max_steps=50)
+    adam_state = adam_init(pool.params())
+    stats = density_stats_init(pool.capacity)
+    if mesh is not None:
+        pool, adam_state, stats = shard_pool(mesh, pool, adam_state, stats)
+        bcam = shard_batch(mesh, bcam)
+        gt = shard_batch(mesh, gt)
+    losses = []
+    for _ in range(n_steps):
+        pool, adam_state, stats, loss = step(pool, adam_state, stats, bcam, gt)
+        losses.append(float(loss))
+    return pool, stats, losses
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["data"] * mesh.shape["gs"] == 8
+    assert make_mesh(8, data=1).shape["gs"] == 8
+    assert make_mesh(4).shape == {"data": 2, "gs": 2}
+
+
+def test_sharded_matches_single_device():
+    mesh8 = make_mesh(8)          # (2, 4)
+    mesh1 = make_mesh(1)          # single device
+    scene, pool, bcam, gt = _setup(b=2, cap_round=8)
+
+    pool_s, stats_s, losses_s = _run(mesh8, pool, bcam, gt, scene["scene_size"])
+    pool_1, stats_1, losses_1 = _run(mesh1, pool, bcam, gt, scene["scene_size"])
+
+    np.testing.assert_allclose(losses_s, losses_1, rtol=0, atol=2e-5)
+    for k, v in pool_s.params().items():
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(pool_1.params()[k]), atol=3e-5, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(stats_s.grad_accum), np.asarray(stats_1.grad_accum), atol=1e-6
+    )
+    assert (np.asarray(stats_s.cunt) == np.asarray(stats_1.cunt)).all()
+
+
+def test_pure_data_parallel_loss_decreases():
+    mesh = make_mesh(8, data=8)
+    scene, _, bcam, gt = _setup(b=8, cap_round=1)
+    rng = np.random.default_rng(0)
+    pool = pool_from_arrays(  # perturbed init so there is signal to recover
+        scene["pws"] + rng.normal(scale=0.05, size=scene["pws"].shape),
+        scene["rots"], scene["scales"] * 1.5, np.clip(scene["alphas"] * 0.7, 0.01, 0.99),
+        scene["shs"] * 0.5, capacity=64,
+    )
+    _, _, losses = _run(mesh, pool, bcam, gt, scene["scene_size"], n_steps=6)
+    assert losses[-1] < losses[0]
+
+
+def test_gs_sharded_render_matches():
+    from easygaussiansplatting_tpu.parallel.train import make_sharded_render
+
+    mesh = make_mesh(8, data=1)
+    scene, pool, bcam, gt = _setup(b=2, cap_round=8)
+    render_fn = make_sharded_render(mesh, CONFIG)
+    img_single = render_fn(pool, scene["cameras"][0])
+    pool_s = shard_pool(mesh, pool)
+    img_shard = render_fn(pool_s, scene["cameras"][0])
+    np.testing.assert_allclose(
+        np.asarray(img_shard), np.asarray(img_single), atol=2e-6
+    )
