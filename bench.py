@@ -36,8 +36,11 @@ def main():
         width, height = 160, 112
         n_gaussians = 1024
 
+    # log_scale_mean -3.6: splats of a few pixels, ~3-6 covered tiles each —
+    # the patch statistics of a trained scene rather than giant blobs.
     scene = make_synthetic_scene(
-        seed=0, n_gaussians=n_gaussians, n_cams=1, width=width, height=height
+        seed=0, n_gaussians=n_gaussians, n_cams=1, width=width, height=height,
+        log_scale_mean=-3.6,
     )
     cam = scene["cameras"][0]
     n = scene["pws"].shape[0]

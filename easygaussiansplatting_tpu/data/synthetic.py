@@ -35,8 +35,13 @@ def look_at_camera(pos, target, width, height, f, up=(0.0, 0.0, 1.0), cam_id=0):
     )
 
 
-def make_synthetic_scene(seed=0, n_gaussians=96, n_cams=6, width=64, height=48, radius=5.0):
+def make_synthetic_scene(seed=0, n_gaussians=96, n_cams=6, width=64, height=48,
+                         radius=5.0, log_scale_mean=-1.9):
     """Random ground-truth Gaussian cloud + ring of cameras.
+
+    `log_scale_mean` controls splat size: the test default (-1.9) gives large
+    overlapping blobs; benchmarks of trained-scene-like statistics should use
+    smaller splats (e.g. -3.5 -> a few pixels at the default focal length).
 
     Returns dict with gt arrays (pws, rots, scales, alphas, shs deg-0),
     cameras (list of Camera), scene_size.
@@ -45,7 +50,7 @@ def make_synthetic_scene(seed=0, n_gaussians=96, n_cams=6, width=64, height=48, 
     pws = rng.normal(size=(n_gaussians, 3)) * np.array([1.2, 1.2, 0.8])
     rots = rng.normal(size=(n_gaussians, 4))
     rots /= np.linalg.norm(rots, axis=1, keepdims=True)
-    scales = np.exp(rng.normal(size=(n_gaussians, 3)) * 0.3 - 1.9)
+    scales = np.exp(rng.normal(size=(n_gaussians, 3)) * 0.3 + log_scale_mean)
     alphas = 0.3 + 0.6 / (1 + np.exp(-rng.normal(size=n_gaussians)))
     shs = rng.normal(size=(n_gaussians, 3)) * 0.8  # degree-0 RGB
 

@@ -148,6 +148,75 @@ def align_tile_ranges(binning, *, k_chunk, capacity):
     }
 
 
+@partial(jax.jit, static_argnames=("k_chunk", "capacity"))
+def chunk_layout(binning, *, k_chunk, capacity):
+    """Chunk-grid layout for the streaming Pallas rasteriser.
+
+    Re-packs the sorted patch list so every tile owns a whole number of
+    K-entry chunks (at least one — empty tiles get a pure-padding chunk so
+    their image block is still initialised and written), plus per-chunk
+    metadata consumed as scalar-prefetch arrays by the kernels:
+
+      aligned_gsid [capacity] int32 — patch -> gaussian index, -1 padding.
+      chunk_tile   [Q] int32 — owning tile (non-decreasing; trailing padding
+                   chunks continue the last tile so no extra writebacks).
+      chunk_pos    [Q] int32 — chunk index within its tile.
+      chunk_first / chunk_last [Q] int32 — tile-boundary flags.
+      chunk_work   [Q] int32 — 1 if the chunk overlaps the tile's real
+                   (unpadded) patch range; pure-padding chunks are skipped.
+
+    Q = capacity // k_chunk. `capacity` must be >= max_patches +
+    n_tiles * k_chunk — the exact worst case (every tile padded < K, empty
+    tiles K); with that bound nothing beyond the original binning overflow is
+    ever dropped.
+    """
+    gsid = binning["patch_gsid"]
+    tile = binning["patch_tile"]
+    start = binning["tile_start"]
+    cnt = binning["tile_cnt"]
+    m = gsid.shape[0]
+    n_tiles = start.shape[0]
+    k = k_chunk
+    q_total = capacity // k
+
+    pad_cnt = jnp.maximum(((cnt + k - 1) // k) * k, k)
+    tile_chunks = pad_cnt // k  # [T] >= 1
+    new_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(pad_cnt)[:-1].astype(jnp.int32)]
+    )
+    csum = jnp.cumsum(tile_chunks).astype(jnp.int32)  # inclusive, in chunks
+    total_chunks = csum[-1]
+
+    q = jnp.arange(q_total, dtype=jnp.int32)
+    ct = jnp.searchsorted(csum, q, side="right").astype(jnp.int32)
+    ct = jnp.minimum(ct, n_tiles - 1)
+    pos = q - (csum[ct] - tile_chunks[ct])
+    in_real = q < total_chunks
+    chunk_tile = jnp.where(in_real, ct, n_tiles - 1)
+    chunk_work = (in_real & (pos * k < cnt[ct])).astype(jnp.int32)
+    # padding chunks: position past any real entry so masks stay false
+    chunk_pos = jnp.where(in_real, pos, jnp.int32(1 << 22))
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), chunk_tile[:-1]])
+    nxt = jnp.concatenate([chunk_tile[1:], jnp.full(1, -1, jnp.int32)])
+    chunk_first = (chunk_tile != prev).astype(jnp.int32)
+    chunk_last = (chunk_tile != nxt).astype(jnp.int32)
+
+    i = jnp.arange(m, dtype=jnp.int32)
+    tsafe = jnp.minimum(tile, n_tiles - 1)
+    valid = gsid >= 0
+    newpos = jnp.where(valid, new_start[tsafe] + (i - start[tsafe]), capacity)
+    aligned = jnp.full(capacity, -1, jnp.int32).at[newpos].set(gsid, mode="drop")
+    return {
+        "aligned_gsid": aligned,
+        "chunk_tile": chunk_tile,
+        "chunk_pos": chunk_pos,
+        "chunk_first": chunk_first,
+        "chunk_last": chunk_last,
+        "chunk_work": chunk_work,
+        "total": jnp.sum(pad_cnt),
+    }
+
+
 @partial(jax.jit, static_argnames=("max_per_tile",))
 def dense_tile_lists(binning, *, max_per_tile):
     """[T, K] dense per-tile gaussian-index lists (-1 padded) from binning

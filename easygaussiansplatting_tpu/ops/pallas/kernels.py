@@ -1,31 +1,36 @@
 """Pallas TPU rasterisation kernels (stage 6 forward + backward).
 
 TPU-native re-design of the CUDA draw/drawB kernels
-(/root/reference/gsplatcu/kernel.cu:152-271, 809-950):
+(/root/reference/gsplatcu/kernel.cu:152-271, 809-950), built around the
+grid-pipelined streaming model instead of CUDA's one-block-per-tile model:
 
-* one grid step per 16x16 image tile (CUDA: one thread block per tile);
-* per-tile draw lists live in HBM as an attribute-major packed array
-  [16, M_pad]; chunks of K entries are DMAed into VMEM with double buffering
-  (CUDA: fetch2shared cooperative shared-memory staging, kernel.cu:13-44);
-* inside a chunk, entries sit along *lanes* and pixels along *sublanes*:
-  the per-pixel sequential blend loop becomes lane-axis prefix products
+* the per-tile draw lists live in HBM as one flat attribute-major packed
+  array [16, capacity], padded so every tile owns a whole number of K-entry
+  chunks (ops/binning.chunk_layout); the pallas grid iterates *chunks*, and
+  the BlockSpec machinery double-buffers each chunk's [16, K] block into VMEM
+  automatically — replacing both CUDA's fetch2shared shared-memory staging
+  (kernel.cu:13-44) and the manual-DMA while_loop of the previous design;
+* chunks of the same tile are consecutive, so the tile's image / transmittance
+  / contributor-count output blocks keep the same block index across those
+  grid steps and stay resident in VMEM (the standard revisited-output
+  accumulation pattern); they are written back to HBM exactly once, when the
+  grid moves to the next tile;
+* inside a chunk, entries sit along *lanes* and pixels along sublanes: the
+  per-pixel sequential blend recurrence becomes lane-axis prefix products
   (lanescan.py) plus an MXU contraction for the color accumulation;
-* per-pixel early termination (tau < 1e-4) becomes a whole-tile while_loop
-  exit once every pixel is saturated (CUDA: __syncthreads_count warp vote,
-  kernel.cu:203-207);
-* the backward walks chunks back-to-front, recovers transmittance by
-  division (kernel.cu:916), and emits per-*patch* gradients to disjoint
-  HBM ranges — a deterministic segment-sum outside replaces atomicAdd
-  (kernel.cu:924-945). TPU has no atomics; determinism is a feature
-  (bitwise-reproducible gradients).
+* per-pixel early termination (tau < 1e-4, kernel.cu:203-207) becomes a
+  whole-tile compute skip once every pixel is saturated (the chunk's DMA
+  still streams — bandwidth is cheaper than a pipeline stall);
+* the backward walks chunks in reverse grid order, recovers transmittance by
+  division (kernel.cu:916), carries (tau, accumulated-color-gradient) in VMEM
+  scratch across a tile's chunks, and emits per-*patch* gradients to disjoint
+  chunk-aligned HBM blocks — a deterministic segment-sum outside replaces
+  atomicAdd (kernel.cu:924-945). TPU has no atomics; determinism is a
+  feature (bitwise-reproducible gradients).
 
-Tile draw lists are padded to multiples of K (ops/binning.align_tile_ranges)
-so every DMA is chunk-aligned and every gradient write stays inside the
-owning tile's range. Padding entries carry alpha = 0 -> alpha' = 0 -> no
-contribution and zero gradients.
+Padding entries carry alpha = 0 -> alpha' = 0 -> no contribution and zero
+gradients; padding chunks carry work = 0 and are skipped entirely.
 """
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +48,7 @@ ALPHA_CLAMP = 0.99
 ALPHA_SKIP = 0.002
 TAU_STOP = 1e-4
 PACK_ROWS = 16  # ux uy cinv_a cinv_b cinv_c alpha r g b (+ 7 pad rows)
-GRAD_ROWS = 16  # dux duy dca dcb dcc dalpha dr dg db (+ 7 pad rows)
+GRAD_ROWS = 16  # same row order as PACK_ROWS for the vjp transpose
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -74,39 +79,24 @@ def _chunk_alpha(data, px, py):
     return ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha)
 
 
-def forward_kernel(start_ref, nchunk_ref, packed_hbm, img_ref, tau_ref, cont_ref,
-                   scratch, sem, *, gx, tile, k):
+def forward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
+                   packed_ref, img_ref, tau_ref, cont_ref, *, gx, tile, k):
     p = tile * tile
-    t = pl.program_id(0)
-    start = start_ref[t]
-    n_chunks = nchunk_ref[t]
+    c = pl.program_id(0)
+    t = tile_ref[c]
     px, py = _pixel_coords(t, gx, tile, p)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
 
-    def get_dma(slot, c):
-        off = pl.multiple_of(start + c * k, k)  # tile lists are chunk-aligned
-        return pltpu.make_async_copy(
-            packed_hbm.at[:, pl.ds(off, k)], scratch.at[slot], sem.at[slot]
-        )
-
-    @pl.when(n_chunks > 0)
+    @pl.when(first_ref[c] == 1)
     def _():
-        get_dma(0, 0).start()
+        img_ref[0] = jnp.zeros((3, p), jnp.float32)
+        tau_ref[0] = jnp.ones((p, 1), jnp.float32)
+        cont_ref[0] = jnp.zeros((p, 1), jnp.int32)
 
-    def cond(state):
-        c, tau, col, cont = state
-        return (c < n_chunks) & (jnp.max(tau) >= TAU_STOP)
+    tau = tau_ref[0]
 
-    def body(state):
-        c, tau, col, cont = state
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        get_dma(slot, c).wait()
-        data = scratch[slot]  # [16, K]
+    @pl.when((work_ref[c] == 1) & (jnp.max(tau) >= TAU_STOP))
+    def _():
+        data = packed_ref[:]  # [16, K] chunk block (auto-pipelined)
         ap, _ = _chunk_alpha(data, px, py)
         m1 = ap >= ALPHA_SKIP
         one_m = jnp.where(m1, 1.0 - ap, 1.0)
@@ -114,84 +104,53 @@ def forward_kernel(start_ref, nchunk_ref, packed_hbm, img_ref, tau_ref, cont_ref
         contribute = m1 & (tau_ex >= TAU_STOP)
         wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [P,K]
         colc = data[6:9, :]  # [3,K]
-        col = col + jax.lax.dot_general(
+        img_ref[0] = img_ref[0] + jax.lax.dot_general(
             colc, wgt, (((1,), (1,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
         )  # [3,P]
-        tau = tau * lane_prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[:, 0:1]
-        idx1 = c * k + lane + 1  # 1-based position within the tile list
-        cont = jnp.maximum(cont, jnp.max(jnp.where(contribute, idx1, 0), axis=1, keepdims=True))
-        return c + 1, tau, col, cont
-
-    tau0 = jnp.ones((p, 1), jnp.float32)
-    col0 = jnp.zeros((3, p), jnp.float32)
-    cont0 = jnp.zeros((p, 1), jnp.int32)
-    c_exit, tau, col, cont = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tau0, col0, cont0)
-    )
-
-    # Early exit (tau saturated) can leave the next chunk's prefetch in
-    # flight; every started DMA must complete before the kernel ends or the
-    # TPU aborts. (Interpret mode does not model this.)
-    @pl.when((c_exit > 0) & (c_exit < n_chunks))
-    def _():
-        get_dma(jax.lax.rem(c_exit, 2), c_exit).wait()
-
-    img_ref[0] = col
-    tau_ref[0] = tau
-    cont_ref[0] = cont
+        tau_ref[0] = tau * lane_prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[:, 0:1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
+        idx1 = pos_ref[c] * k + lane + 1  # 1-based position in the tile list
+        cont_ref[0] = jnp.maximum(
+            cont_ref[0], jnp.max(jnp.where(contribute, idx1, 0), axis=1, keepdims=True)
+        )
 
 
-def backward_kernel(start_ref, nchunk_ref, packed_hbm, g_ref, tau_ref, cont_ref,
-                    grads_hbm, scratch, gscratch, sem, wsem, *, gx, tile, k):
+def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
+                    packed_ref, g_ref, tau_ref, cont_ref, grads_ref,
+                    tau_s, gag_s, *, gx, tile, k, q_total):
     p = tile * tile
-    t = pl.program_id(0)
-    start = start_ref[t]
-    n_chunks = nchunk_ref[t]
+    i = pl.program_id(0)
+    rc = q_total - 1 - i  # chunks are visited back-to-front
+    t = tile_ref[rc]
     px, py = _pixel_coords(t, gx, tile, p)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
-    g = g_ref[0]          # [3,P] dL/dpixel for this tile
-    final_tau = tau_ref[0]  # [P,1]
-    cont = cont_ref[0]      # [P,1] int32
 
-    def get_dma(slot, c):
-        off = pl.multiple_of(start + c * k, k)
-        return pltpu.make_async_copy(
-            packed_hbm.at[:, pl.ds(off, k)], scratch.at[slot], sem.at[slot]
-        )
-
-    def put_dma(slot, c):
-        off = pl.multiple_of(start + c * k, k)
-        return pltpu.make_async_copy(
-            gscratch.at[slot], grads_hbm.at[:, pl.ds(off, k)], wsem.at[slot]
-        )
-
-    @pl.when(n_chunks > 0)
+    # First visit of this tile (its last chunk): load the final transmittance
+    # and clear the accumulated-color-gradient carry (drawB kernel.cu:899-916).
+    @pl.when(last_ref[rc] == 1)
     def _():
-        get_dma(jax.lax.rem(n_chunks - 1, 2), n_chunks - 1).start()
+        tau_s[:] = tau_ref[0]
+        gag_s[:] = jnp.zeros((p, 1), jnp.float32)
 
-    def cond(state):
-        c = state[0]
-        return c >= 0
+    cont = cont_ref[0]  # [P,1] int32
+    pos = pos_ref[rc]
+    grads_ref[:] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
 
-    def body(state):
-        c, tau_end, gag = state
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c - 1 >= 0)
-        def _():
-            get_dma(jax.lax.rem(c + 1, 2), c - 1).start()
-
-        get_dma(slot, c).wait()
-        data = scratch[slot]
+    # A chunk contributes only if some pixel's contributor count reaches it.
+    @pl.when((work_ref[rc] == 1) & (jnp.max(cont) > pos * k))
+    def _():
+        data = packed_ref[:]
+        g = g_ref[0]  # [3,P] dL/dpixel for this tile
         ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
-        idx0 = c * k + lane  # 0-based position within the tile list
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
+        idx0 = pos * k + lane
         m = (idx0 < cont) & (ap >= ALPHA_SKIP)
 
         one_m = jnp.where(m, 1.0 - ap, 1.0)
         sfx = suffix_prod_inclusive(one_m)  # [P,K]
+        tau_end = tau_s[:]
         tau_ex = tau_end / sfx              # T_{k-1} per entry (drawB division)
-        new_tau_end = tau_end / sfx[:, 0:1]
+        tau_s[:] = tau_end / sfx[:, 0:1]
 
         contr = jnp.where(m, tau_ex * ap, 0.0)  # [P,K]
         colc = data[6:9, :]  # [3,K]
@@ -202,8 +161,9 @@ def backward_kernel(start_ref, nchunk_ref, packed_hbm, g_ref, tau_ref, cont_ref,
         )  # [P,K]
         cgw = contr * cg
         # Gg[p,k] = g . (accumulated color behind entry k) — suffix sum + carry
+        gag = gag_s[:]
         Gg = suffix_sum_exclusive(cgw) + gag
-        new_gag = gag + jnp.sum(cgw, axis=1, keepdims=True)
+        gag_s[:] = gag + jnp.sum(cgw, axis=1, keepdims=True)
 
         dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
         unclamped = ap < ALPHA_CLAMP
@@ -232,19 +192,10 @@ def backward_kernel(start_ref, nchunk_ref, packed_hbm, g_ref, tau_ref, cont_ref,
             preferred_element_type=jnp.float32,
         )  # [3,K]
 
-        wslot = jax.lax.rem(c, 2)
-        gscratch[wslot, 0:1, :] = dux
-        gscratch[wslot, 1:2, :] = duy
-        gscratch[wslot, 2:3, :] = dca
-        gscratch[wslot, 3:4, :] = dcb
-        gscratch[wslot, 4:5, :] = dcc
-        gscratch[wslot, 5:6, :] = dalpha
-        gscratch[wslot, 6:9, :] = dcolor
-        gscratch[wslot, 9:GRAD_ROWS, :] = jnp.zeros((GRAD_ROWS - 9, k), jnp.float32)
-        put_dma(wslot, c).start()
-        put_dma(wslot, c).wait()
-
-        return c - 1, new_tau_end, new_gag
-
-    gag0 = jnp.zeros((p, 1), jnp.float32)
-    jax.lax.while_loop(cond, body, (n_chunks - 1, final_tau, gag0))
+        grads_ref[0:1, :] = dux
+        grads_ref[1:2, :] = duy
+        grads_ref[2:3, :] = dca
+        grads_ref[3:4, :] = dcb
+        grads_ref[4:5, :] = dcc
+        grads_ref[5:6, :] = dalpha
+        grads_ref[6:9, :] = dcolor

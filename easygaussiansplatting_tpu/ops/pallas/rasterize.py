@@ -1,5 +1,5 @@
 """Differentiable Pallas rasterisation: packing, custom_vjp, and pallas_call
-plumbing.
+plumbing for the streaming chunk-grid kernels (kernels.py).
 
 The autodiff boundary sits around the packed per-patch attribute array: the
 gather (gaussian attrs -> patch order) is built with differentiable JAX ops
@@ -7,7 +7,9 @@ gather (gaussian attrs -> patch order) is built with differentiable JAX ops
 patch gsids — is synthesised by XLA and plays the role of the reference's
 atomicAdd accumulation plus the Python matmul chain entry point
 (/root/reference/gsplat/gsmodel.py:52-93). Inside the custom_vjp, forward and
-backward are the Pallas kernels from kernels.py.
+backward are single pallas_calls whose grid streams the chunk-aligned patch
+array; per-chunk metadata rides in scalar-prefetch arrays so the BlockSpec
+index maps can route each chunk to its owning image tile.
 """
 
 import functools
@@ -15,11 +17,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from easygaussiansplatting_tpu.ops.binning import align_tile_ranges
+from easygaussiansplatting_tpu.ops.binning import chunk_layout
 from easygaussiansplatting_tpu.ops.pallas.kernels import (
     GRAD_ROWS,
     PACK_ROWS,
@@ -33,21 +34,22 @@ def _use_interpret():
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
-def _fwd_call(packed_T, tile_start, tile_n_chunks, *, n_tiles, gx, tile, k, interpret):
+def _fwd_call(packed_T, meta, *, n_tiles, gx, tile, k, interpret):
     p = tile * tile
+    q_total = packed_T.shape[1] // k
     kern = functools.partial(forward_kernel, gx=gx, tile=tile, k=k)
+    # index maps receive (grid idx, *scalar-prefetch refs)
+    out_map = lambda c, t_ref, *_: (t_ref[c], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        num_scalar_prefetch=5,  # chunk_tile, chunk_pos, first, last, work
+        grid=(q_total,),
+        in_specs=[
+            pl.BlockSpec((PACK_ROWS, k), lambda c, *_: (0, c), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, PACK_ROWS, k), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+        out_specs=[
+            pl.BlockSpec((1, 3, p), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), out_map, memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
@@ -59,30 +61,36 @@ def _fwd_call(packed_T, tile_start, tile_n_chunks, *, n_tiles, gx, tile, k, inte
             jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_start, tile_n_chunks, packed_T)
+    )(
+        meta["chunk_tile"], meta["chunk_pos"], meta["chunk_first"],
+        meta["chunk_last"], meta["chunk_work"], packed_T,
+    )
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
-def _bwd_call(packed_T, tile_start, tile_n_chunks, g_tiles, tau_tiles, cont_tiles,
+def _bwd_call(packed_T, meta, g_tiles, tau_tiles, cont_tiles,
               *, n_tiles, gx, tile, k, interpret):
     p = tile * tile
     m_pad = packed_T.shape[1]
-    kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k)
+    q_total = m_pad // k
+    kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k, q_total=q_total)
+    rev_map = lambda i, *_: (0, q_total - 1 - i)
+    tile_map = lambda i, t_ref, *_: (t_ref[q_total - 1 - i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        num_scalar_prefetch=5,
+        grid=(q_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACK_ROWS, k), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, p), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), tile_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((GRAD_ROWS, k), rev_map, memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_ROWS, k), jnp.float32),
-            pltpu.VMEM((2, GRAD_ROWS, k), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((p, 1), jnp.float32),  # transmittance carry
+            pltpu.VMEM((p, 1), jnp.float32),  # accumulated color-grad carry
         ],
     )
     return pl.pallas_call(
@@ -90,37 +98,37 @@ def _bwd_call(packed_T, tile_start, tile_n_chunks, g_tiles, tau_tiles, cont_tile
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m_pad), jnp.float32)],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_n_chunks, packed_T, g_tiles, tau_tiles, cont_tiles)[0]
+    )(
+        meta["chunk_tile"], meta["chunk_pos"], meta["chunk_first"],
+        meta["chunk_last"], meta["chunk_work"],
+        packed_T, g_tiles, tau_tiles, cont_tiles,
+    )[0]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _raster_packed(dims, packed_T, tile_start, tile_n_chunks):
+def _raster_packed(dims, packed_T, meta):
     n_tiles, gx, tile, k, interpret = dims
-    return _fwd_call(
-        packed_T, tile_start, tile_n_chunks,
-        n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
-    )
+    return _fwd_call(packed_T, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k,
+                     interpret=interpret)
 
 
-def _raster_packed_fwd(dims, packed_T, tile_start, tile_n_chunks):
+def _raster_packed_fwd(dims, packed_T, meta):
     n_tiles, gx, tile, k, interpret = dims
     image, tau, cont = _fwd_call(
-        packed_T, tile_start, tile_n_chunks,
-        n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
+        packed_T, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret
     )
-    return (image, tau, cont), (packed_T, tile_start, tile_n_chunks, tau, cont)
+    return (image, tau, cont), (packed_T, meta, tau, cont)
 
 
 def _raster_packed_bwd(dims, res, cotangents):
     n_tiles, gx, tile, k, interpret = dims
-    packed_T, tile_start, tile_n_chunks, tau, cont = res
+    packed_T, meta, tau, cont = res
     g_img, _, _ = cotangents  # gradients w.r.t. tau/contrib are not propagated
     grads_T = _bwd_call(
-        packed_T, tile_start, tile_n_chunks, g_img, tau, cont,
+        packed_T, meta, g_img, tau, cont,
         n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
     )
-    return grads_T, None, None
+    return grads_T, {k: None for k in meta}
 
 
 _raster_packed.defvjp(_raster_packed_fwd, _raster_packed_bwd)
@@ -135,6 +143,8 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     """
     if interpret is None:
         interpret = _use_interpret()
+    # HBM block slices along the lane (last) axis must be 128-aligned on TPU.
+    k_chunk = max(128, ((k_chunk + 127) // 128) * 128)
     gx = -(-width // tile)
     gy = -(-height // tile)
     n_tiles = gx * gy
@@ -142,15 +152,15 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
 
     m = binning["patch_gsid"].shape[0]
     capacity = m + n_tiles * k_chunk
-    aligned = align_tile_ranges(binning, k_chunk=k_chunk, capacity=capacity)
-    gsid = aligned["aligned_gsid"]
+    meta = chunk_layout(binning, k_chunk=k_chunk, capacity=capacity)
+    gsid = meta["aligned_gsid"]
     gsafe = jnp.maximum(gsid, 0)
     live = gsid >= 0
 
     # Differentiable packing: transpose of these gathers = deterministic
     # scatter-add of the per-patch gradients back onto the gaussians. Every
     # row is masked by `live`, so cotangents of padding slots and of the
-    # *unwritten* tail of the kernel's gradient buffer are dropped.
+    # zero rows the kernel writes for skipped chunks are dropped.
     rows = [
         jnp.where(live, us[gsafe, 0], 0.0),
         jnp.where(live, us[gsafe, 1], 0.0),
@@ -166,9 +176,7 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     packed_T = jnp.concatenate([jnp.stack(rows, axis=0), pad], axis=0)
 
     dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
-    image_t, tau_t, cont_t = _raster_packed(
-        dims, packed_T, aligned["tile_start"], aligned["tile_n_chunks"]
-    )
+    image_t, tau_t, cont_t = _raster_packed(dims, packed_T, meta)
 
     # [T,3,P] -> [3,H,W]
     img = image_t.reshape(gy, gx, 3, tile, tile)
@@ -182,6 +190,6 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     aux = {
         "contrib": cont,
         "final_tau": tau,
-        "n_aligned_total": aligned["total"],
+        "n_aligned_total": meta["total"],
     }
     return img, aux

@@ -1,0 +1,122 @@
+"""Sharded epoch driver: batched multi-chip training.
+
+Extends the reference recipe (/root/reference/train.py:44-83 — one camera per
+step) to B cameras per step over the mesh's data axis, keeping the densify /
+alpha-reset cadence. Cameras are bucketed by image size (one jit cache entry
+per size); batches are formed within a bucket.
+"""
+
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easygaussiansplatting_tpu.parallel.train import (
+    make_sharded_render,
+    make_sharded_train_step,
+    shard_batch,
+    shard_pool,
+    stack_cameras,
+)
+from easygaussiansplatting_tpu.train.density import (
+    densify_and_prune,
+    density_stats_init,
+    reset_alpha,
+)
+from easygaussiansplatting_tpu.train.optimizer import adam_init
+from easygaussiansplatting_tpu.utils.image import psnr
+
+
+def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None,
+                  seed=0, log_fn=print, eval_every=10, epoch_cb=None):
+    """Full training over a device mesh. Returns (pool, history)."""
+    if batch is None:
+        batch = mesh.shape["data"]
+    if batch % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch {batch} must be a multiple of the data axis {mesh.shape['data']}"
+        )
+    if pool.capacity % mesh.shape["gs"] != 0:
+        raise ValueError(
+            f"pool capacity {pool.capacity} not divisible by gs axis {mesh.shape['gs']}"
+        )
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    n = len(cameras)
+    steps_per_epoch = max(1, n // batch)
+    max_steps = config.epochs * steps_per_epoch
+    step = make_sharded_train_step(mesh, config, scene_size, max_steps)
+    render_fn = make_sharded_render(mesh, config)
+
+    buckets = defaultdict(list)
+    for i, c in enumerate(cameras):
+        buckets[(c.width, c.height)].append(i)
+
+    adam_state = adam_init(pool.params())
+    stats = density_stats_init(pool.capacity)
+    pool, adam_state, stats = shard_pool(mesh, pool, adam_state, stats)
+    gt_np = [np.asarray(im, np.float32) for im in gt_images]
+
+    history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": []}
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        losses = []
+        for idxs in _epoch_batches(buckets, batch, rng):
+            bcam = stack_cameras([cameras[i] for i in idxs])
+            gt = jnp.stack([jnp.asarray(gt_np[i]) for i in idxs])
+            bcam = shard_batch(mesh, bcam)
+            gt = shard_batch(mesh, gt)
+            pool, adam_state, stats, loss = step(pool, adam_state, stats, bcam, gt)
+            losses.append(loss)
+        avg_loss = float(jnp.mean(jnp.stack(losses)))
+        history["loss"].append(avg_loss)
+        history["epoch_time"].append(time.time() - t0)
+
+        e = epoch + 1
+        if e % config.densify_every_epochs == 0 and e <= config.densify_until_epoch and e > 1:
+            key, sub = jax.random.split(key)
+            pool, adam_state, stats, report = densify_and_prune(
+                pool, adam_state, stats, sub, scene_size, config
+            )
+            pool, adam_state, stats = shard_pool(mesh, pool, adam_state, stats)
+            log_fn(
+                f"[epoch {e}] densify: pruned={int(report['n_pruned'])} "
+                f"cloned={int(report['n_cloned'])} split={int(report['n_split'])} "
+                f"alive={int(report['n_alive'])}"
+            )
+        if e % config.reset_alpha_every_epochs == 0:
+            pool, adam_state = reset_alpha(pool, adam_state, config)
+            log_fn(f"[epoch {e}] alpha reset")
+
+        history["n_alive"].append(int(pool.n_alive()))
+        if e % eval_every == 0 or e == config.epochs:
+            img = render_fn(pool, cameras[0])
+            p = float(psnr(jnp.clip(img, 0, 1), jnp.clip(jnp.asarray(gt_np[0]), 0, 1)))
+            history["psnr"].append((e, p))
+            log_fn(f"[epoch {e}] loss={avg_loss:.5f} psnr={p:.2f} "
+                   f"alive={history['n_alive'][-1]} ({history['epoch_time'][-1]:.1f}s)")
+        else:
+            log_fn(f"[epoch {e}] loss={avg_loss:.5f} alive={history['n_alive'][-1]} "
+                   f"({history['epoch_time'][-1]:.1f}s)")
+        if epoch_cb is not None:
+            epoch_cb(e, pool)
+    return pool, history
+
+
+def _epoch_batches(buckets, batch, rng):
+    """Shuffled batches of camera indices, each within one (W,H) bucket.
+    Short remainders are padded by re-sampling the bucket (keeps shapes
+    static for jit)."""
+    out = []
+    for idxs in buckets.values():
+        order = rng.permutation(idxs)
+        for i in range(0, len(order), batch):
+            chunk = list(order[i : i + batch])
+            while len(chunk) < batch:
+                chunk.append(int(rng.choice(idxs)))
+            out.append(chunk)
+    rng.shuffle(out)
+    return out

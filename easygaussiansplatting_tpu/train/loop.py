@@ -67,7 +67,7 @@ def make_train_step(config: TrainConfig, scene_size: float, max_steps: int):
     return train_step
 
 
-def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0, log_fn=print, eval_every=10):
+def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0, log_fn=print, eval_every=10, epoch_cb=None):
     """Full training. cameras: list of Camera (same W,H); gt_images: list of
     [3,H,W] arrays. Returns (pool, history)."""
     rng = np.random.default_rng(seed)
@@ -117,4 +117,6 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0, log
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} psnr={p:.2f} alive={history['n_alive'][-1]}")
         else:
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} alive={history['n_alive'][-1]}")
+        if epoch_cb is not None:
+            epoch_cb(e, pool)
     return pool, history

@@ -1,0 +1,70 @@
+"""Headless gaussian viewer: turntable render of a trained model.
+
+The TPU counterpart of the reference's interactive viewer entry
+(/root/reference/gaussian_viewer.py): loads a .ply/.npy Gaussian set and
+renders an orbit around it — to an animated GIF and/or PNG frames — using
+the TPU rasteriser. Exported .npy/.ply files stay loadable by the
+reference's own OpenGL viewer for interactive use on a GPU workstation.
+
+    python gaussian_viewer.py --gs trained.ply --out orbit.gif
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--gs", help="gaussians (.ply/.npy); default: example fixture")
+    ap.add_argument("--frames", type=int, default=36)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--radius", type=float, default=None)
+    ap.add_argument("--elevation", type=float, default=0.35)
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "tiled"])
+    ap.add_argument("--out", default="orbit.gif")
+    ap.add_argument("--save-frames", help="also write PNG frames with this prefix")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from easygaussiansplatting_tpu.viewer.headless import (
+        orbit_cameras,
+        render_turntable,
+        save_frames,
+        save_gif,
+    )
+
+    if args.gs:
+        from easygaussiansplatting_tpu.data.gau_io import load_gs, recarray_to_arrays
+
+        a = recarray_to_arrays(load_gs(args.gs))
+    else:
+        from easygaussiansplatting_tpu.data import example_gaussians
+
+        g = example_gaussians()
+        a = {"pws": g["pws"], "rots": g["rots"], "scales": g["scales"],
+             "alphas": g["alphas"], "shs": g["shs"]}
+
+    cameras = None
+    if args.radius is not None:
+        center = np.asarray(a["pws"], np.float64).mean(0)
+        cameras = orbit_cameras(
+            center, args.radius, n_frames=args.frames,
+            width=args.width, height=args.height, elevation=args.elevation,
+        )
+
+    frames = render_turntable(
+        a, cameras, backend=args.backend,
+        n_frames=args.frames, width=args.width, height=args.height,
+        elevation=args.elevation,
+    )
+    if args.out:
+        save_gif(args.out, frames)
+        print(f"wrote {args.out} ({len(frames)} frames, {args.width}x{args.height})")
+    if args.save_frames:
+        save_frames(args.save_frames, frames)
+        print(f"wrote {len(frames)} PNGs at {args.save_frames}*")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Train a 3D Gaussian Splatting model.
+
+The TPU counterpart of the reference trainer (/root/reference/train.py):
+
+    python train.py --path <colmap_scene_dir>            # e.g. T&T truck
+    python train.py --synthetic                          # hermetic demo scene
+    python train.py --path <dir> --batch 4 --mesh-data 4 # multi-chip batching
+
+Saves reference-compatible .npy snapshots (loadable by the reference viewer
+and forward_cpu.py) every --save-every epochs into --out.
+"""
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--path", help="COLMAP dataset directory")
+    ap.add_argument("--synthetic", action="store_true", help="train on a synthetic scene")
+    ap.add_argument("--gs", help="initial gaussians (.ply/.npy) overriding SfM init")
+    ap.add_argument("--resize-rate", type=float, default=0.25,
+                    help="image downscale factor (reference uses 1; 0.25 fits memory)")
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "tiled", "dense"])
+    ap.add_argument("--batch", type=int, default=1, help="cameras per step")
+    ap.add_argument("--mesh-data", type=int, default=None,
+                    help="data-axis size of the device mesh (default: auto)")
+    ap.add_argument("--capacity", type=int, default=None, help="gaussian pool capacity")
+    ap.add_argument("--max-patches", type=int, default=2**20)
+    ap.add_argument("--out", default="output")
+    ap.add_argument("--save-every", type=int, default=10)
+    ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    from easygaussiansplatting_tpu.data.gau_io import load_gs, recarray_to_arrays, save_pool
+    from easygaussiansplatting_tpu.models.gaussians import pool_from_arrays
+    from easygaussiansplatting_tpu.train.config import TrainConfig
+    from easygaussiansplatting_tpu.train.loop import train
+
+    if args.synthetic:
+        from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene, render_gt_images
+
+        scene = make_synthetic_scene(seed=args.seed, n_gaussians=512, n_cams=8,
+                                     width=128, height=96)
+        cameras = scene["cameras"]
+        gs = {k: scene[k] for k in ("pws", "rots", "scales", "alphas", "shs")}
+        scene_size = scene["scene_size"]
+        images = [np.asarray(im) for im in render_gt_images(scene)]
+        # perturbed init: recover the ground truth
+        rng = np.random.default_rng(args.seed)
+        gs["pws"] = gs["pws"] + rng.normal(scale=0.03, size=gs["pws"].shape)
+        gs["shs"] = gs["shs"] * 0.5
+    elif args.path:
+        from easygaussiansplatting_tpu.data.dataset import load_colmap_dataset
+
+        print(f"loading {args.path} (resize {args.resize_rate}) ...")
+        ds = load_colmap_dataset(args.path, resize_rate=args.resize_rate)
+        cameras, images, scene_size = ds.cameras, ds.images, ds.scene_size
+        rec = load_gs(args.gs) if args.gs else ds.gs
+        gs = recarray_to_arrays(rec)
+        print(f"{len(cameras)} cameras, {len(gs['pws'])} initial gaussians, "
+              f"scene_size={scene_size:.2f}")
+    else:
+        ap.error("need --path or --synthetic")
+
+    config = TrainConfig(
+        epochs=args.epochs, backend=args.backend, max_patches=args.max_patches,
+        save_every_epochs=args.save_every,
+    )
+    n0 = len(gs["pws"])
+    capacity = args.capacity or int(config.capacity_headroom * n0)
+    capacity = ((capacity + 255) // 256) * 256
+    pool = pool_from_arrays(
+        gs["pws"], gs["rots"], gs["scales"], gs["alphas"], gs["shs"], capacity=capacity
+    )
+    print(f"pool capacity {capacity} ({n0} alive), backend={args.backend}, "
+          f"devices={jax.device_count()}")
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def log_fn(msg):
+        print(f"{time.strftime('%H:%M:%S')} {msg}", flush=True)
+
+    def save_cb(epoch, pool):
+        if epoch % config.save_every_epochs == 0 or epoch == config.epochs:
+            save_pool(out / f"epoch{epoch:04d}.npy", pool)
+
+    if args.batch > 1:
+        from easygaussiansplatting_tpu.parallel import make_mesh
+        from easygaussiansplatting_tpu.parallel.loop import train_sharded
+
+        mesh = make_mesh(data=args.mesh_data)
+        log_fn(f"mesh {dict(mesh.shape)}; batch={args.batch}")
+        pool, history = train_sharded(
+            pool, cameras, images, config, scene_size, mesh,
+            batch=args.batch, seed=args.seed, log_fn=log_fn,
+            eval_every=args.eval_every, epoch_cb=save_cb,
+        )
+    else:
+        pool, history = train(
+            pool, cameras, images, config, scene_size,
+            seed=args.seed, log_fn=log_fn, eval_every=args.eval_every,
+        )
+        save_cb(config.epochs, pool)
+
+    save_pool(out / "final.npy", pool)
+    log_fn(f"saved {out}/final.npy; last loss {history['loss'][-1]:.5f}")
+
+
+if __name__ == "__main__":
+    main()
