@@ -71,11 +71,22 @@ def load_image(path, resize_rate=1.0):
     return np.transpose(arr, (2, 0, 1))  # [3,H,W]
 
 
-def load_colmap_dataset(path, resize_rate=1.0, load_images=True, cache_points=True):
+def load_colmap_dataset(path, resize_rate=1.0, load_images=True, cache_points=True,
+                        use_native=None):
+    """`use_native` selects the C++ mmap parser (native/colmap_reader.cc);
+    default: use it when built, else the pure-Python readers."""
+    from easygaussiansplatting_tpu.data import native_loader
+
+    if use_native is None:
+        use_native = native_loader.available()
+    read_cams = native_loader.read_cameras_binary if use_native else read_cameras_binary
+    read_imgs = native_loader.read_images_binary if use_native else read_images_binary
+    read_pts = native_loader.read_points3d_binary if use_native else read_points3d_binary
+
     path = Path(path)
     sparse = path / "sparse" / "0"
-    cameras = read_cameras_binary(sparse / "cameras.bin")
-    images_meta = read_images_binary(sparse / "images.bin")
+    cameras = read_cams(sparse / "cameras.bin")
+    images_meta = read_imgs(sparse / "images.bin")
 
     cams, imgs = [], []
     for im in sorted(images_meta.values(), key=lambda x: x.id):
@@ -112,7 +123,7 @@ def load_colmap_dataset(path, resize_rate=1.0, load_images=True, cache_points=Tr
         except Exception:
             gs = None
     if gs is None:
-        xyz, rgb, _ = read_points3d_binary(sparse / "points3D.bin")
+        xyz, rgb, _ = read_pts(sparse / "points3D.bin")
         gs = points_to_gaussians(xyz, rgb)
         if cache_points:
             try:

@@ -49,9 +49,30 @@ def gaussian_rects(us, areas, valid, width, height, tile=TILE):
     return jnp.stack([x0, y0, x1, y1], axis=1), valid
 
 
+def _propagate(starts, values, budget):
+    """Piecewise-constant segment attribute -> per-slot array.
+
+    `starts[i]` is the first slot of (possibly empty) segment i, non-
+    decreasing; `values[i]` its attribute. Scatters the deltas between
+    consecutive segment values at the segment starts and integrates with a
+    running sum. Empty segments collapse onto the same start index and their
+    deltas telescope away. This is the TPU-friendly replacement for
+    `values[searchsorted(...)]`: a 1M-index random gather runs two orders of
+    magnitude slower than scatter + cumsum on TPU.
+    """
+    deltas = jnp.diff(values, prepend=values.dtype.type(0))
+    marks = jnp.zeros(budget, values.dtype).at[starts].add(deltas, mode="drop")
+    return jnp.cumsum(marks)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "tile", "max_patches"))
 def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_patches):
     """Build the per-tile draw lists.
+
+    Patch expansion is two-level (gaussian -> covered tile-rows -> covered
+    tiles) with every per-slot attribute produced by `_propagate` — the whole
+    expansion is scatters, cumulative sums, and elementwise math: no integer
+    divide/modulo and no large random gathers, the two ops TPUs punish.
 
     Returns dict:
       patch_gsid  [max_patches] int32 — original Gaussian index per patch,
@@ -60,7 +81,6 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
       total       int32 — true number of patches (before capping).
       n_dropped   int32 — patches beyond capacity (0 in healthy runs).
     """
-    n = us.shape[0]
     gx, gy = num_tiles(width, height, tile)
     n_tiles = gx * gy
 
@@ -71,38 +91,52 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     valid_s = valid[order]
 
     x0, y0, x1, y1 = rects_s[:, 0], rects_s[:, 1], rects_s[:, 2], rects_s[:, 3]
-    w = x1 - x0
-    counts = jnp.where(valid_s, w * (y1 - y0), 0).astype(jnp.int32)
-    cum = jnp.cumsum(counts)  # inclusive
-    total = cum[-1]
+    w = jnp.where(valid_s, x1 - x0, 0).astype(jnp.int32)
 
-    # Expand: slot m belongs to the first sorted gaussian whose cumsum > m.
-    m = jnp.arange(max_patches, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, m, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, n - 1)
-    offset = cum[g] - counts[g]  # exclusive cumsum at g
-    local = m - offset
-    wsafe = jnp.maximum(w[g], 1)
-    ty = y0[g] + local // wsafe
-    tx = x0[g] + local % wsafe
+    # Level 1: one slot per covered tile-row of each gaussian. Row slot j of
+    # gaussian i covers tile-row y0[i] + (j - rstart[i]), so the per-slot
+    # quantity c1 = (y0 - rstart) * gx + x0 is segment-constant.
+    row_counts = jnp.where(valid_s, y1 - y0, 0).astype(jnp.int32)
+    rcum = jnp.cumsum(row_counts)
+    rstart = rcum - row_counts
+    total_rows = rcum[-1]
+    mr = jnp.arange(max_patches, dtype=jnp.int32)
+    rows_ok = mr < jnp.minimum(total_rows, max_patches)
+    c1 = _propagate(rstart, (y0 - rstart) * gx + x0, max_patches)
+    row_w = jnp.where(rows_ok, _propagate(rstart, w, max_patches), 0)
+    row_ord = _propagate(rstart, order, max_patches)
+
+    # Level 2: one slot per covered tile of each row. Patch slot m of row j
+    # is tile (row_ty * gx + x0) + (m - start2[j]), so
+    # base = c1 + j * gx - start2 is again segment-constant.
+    wcum = jnp.cumsum(row_w)
+    total = wcum[-1]
+    start2 = wcum - row_w
+    base = c1 + mr * gx - start2
+    m = mr
     in_range = m < jnp.minimum(total, max_patches)
-    tile_id = jnp.where(in_range, ty * gx + tx, n_tiles).astype(jnp.int32)
-    gsid = jnp.where(in_range, order[g], -1)
+    tile_id = jnp.where(
+        in_range, _propagate(start2, base, max_patches) + m, n_tiles
+    ).astype(jnp.int32)
+    gsid = jnp.where(in_range, _propagate(start2, row_ord, max_patches), -1)
 
     # Stable sort by tile id keeps depth order within each tile.
     tile_sorted, gsid_sorted = jax.lax.sort(
         (tile_id, gsid), dimension=0, is_stable=True, num_keys=1
     )
 
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
+    # Per-tile ranges by counting (padding slots carry tile id n_tiles).
+    cnt_t = jnp.zeros(n_tiles + 1, jnp.int32).at[tile_sorted].add(1, mode="drop")
+    tile_cnt = cnt_t[:n_tiles]
+    tile_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_cnt)[:-1].astype(jnp.int32)]
+    )
 
     return {
         "patch_gsid": gsid_sorted,
         "patch_tile": tile_sorted,
         "tile_start": tile_start,
-        "tile_cnt": tile_end - tile_start,
+        "tile_cnt": tile_cnt,
         "total": total,
         "n_dropped": jnp.maximum(total - max_patches, 0),
     }
@@ -157,7 +191,9 @@ def chunk_layout(binning, *, k_chunk, capacity):
     their image block is still initialised and written), plus per-chunk
     metadata consumed as scalar-prefetch arrays by the kernels:
 
-      aligned_gsid [capacity] int32 — patch -> gaussian index, -1 padding.
+      patch_newpos [max_patches] int32 — destination slot of each sorted
+                   patch in the chunk-aligned layout (`capacity` = dropped);
+                   the caller row-scatters packed attributes with it.
       chunk_tile   [Q] int32 — owning tile (non-decreasing; trailing padding
                    chunks continue the last tile so no extra writebacks).
       chunk_pos    [Q] int32 — chunk index within its tile.
@@ -205,9 +241,8 @@ def chunk_layout(binning, *, k_chunk, capacity):
     tsafe = jnp.minimum(tile, n_tiles - 1)
     valid = gsid >= 0
     newpos = jnp.where(valid, new_start[tsafe] + (i - start[tsafe]), capacity)
-    aligned = jnp.full(capacity, -1, jnp.int32).at[newpos].set(gsid, mode="drop")
     return {
-        "aligned_gsid": aligned,
+        "patch_newpos": newpos,
         "chunk_tile": chunk_tile,
         "chunk_pos": chunk_pos,
         "chunk_first": chunk_first,

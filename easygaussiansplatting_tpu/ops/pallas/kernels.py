@@ -80,22 +80,29 @@ def _chunk_alpha(data, px, py):
 
 
 def forward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
-                   packed_ref, img_ref, tau_ref, cont_ref, *, gx, tile, k):
+                   packed_ref, img_ref, tau_ref, cont_ref,
+                   img_s, tau_s, cont_s, sat_s, *, gx, tile, k):
     p = tile * tile
     c = pl.program_id(0)
     t = tile_ref[c]
     px, py = _pixel_coords(t, gx, tile, p)
 
+    # The tile's blend state accumulates in VMEM scratch across its chunks;
+    # the HBM output blocks are written exactly once, at the tile's last
+    # chunk — never read-modify-written.
     @pl.when(first_ref[c] == 1)
     def _():
-        img_ref[0] = jnp.zeros((3, p), jnp.float32)
-        tau_ref[0] = jnp.ones((p, 1), jnp.float32)
-        cont_ref[0] = jnp.zeros((p, 1), jnp.int32)
+        img_s[:] = jnp.zeros((3, p), jnp.float32)
+        tau_s[:] = jnp.ones((p, 1), jnp.float32)
+        cont_s[:] = jnp.zeros((p, 1), jnp.int32)
+        sat_s[0] = 0
 
-    tau = tau_ref[0]
-
-    @pl.when((work_ref[c] == 1) & (jnp.max(tau) >= TAU_STOP))
+    # The early-termination test (all pixels saturated, kernel.cu:203-207)
+    # lives in an SMEM flag written only by work chunks: a vector->scalar
+    # reduce on every grid step would stall the pipeline ~6000 times.
+    @pl.when((work_ref[c] == 1) & (sat_s[0] == 0))
     def _():
+        tau = tau_s[:]
         data = packed_ref[:]  # [16, K] chunk block (auto-pipelined)
         ap, _ = _chunk_alpha(data, px, py)
         m1 = ap >= ALPHA_SKIP
@@ -104,19 +111,27 @@ def forward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
         contribute = m1 & (tau_ex >= TAU_STOP)
         wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [P,K]
         colc = data[6:9, :]  # [3,K]
-        img_ref[0] = img_ref[0] + jax.lax.dot_general(
+        img_s[:] = img_s[:] + jax.lax.dot_general(
             colc, wgt, (((1,), (1,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
         )  # [3,P]
-        tau_ref[0] = tau * lane_prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[:, 0:1]
+        new_tau = tau * lane_prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[:, 0:1]
+        tau_s[:] = new_tau
+        sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
         idx1 = pos_ref[c] * k + lane + 1  # 1-based position in the tile list
-        cont_ref[0] = jnp.maximum(
-            cont_ref[0], jnp.max(jnp.where(contribute, idx1, 0), axis=1, keepdims=True)
+        cont_s[:] = jnp.maximum(
+            cont_s[:], jnp.max(jnp.where(contribute, idx1, 0), axis=1, keepdims=True)
         )
 
+    @pl.when(last_ref[c] == 1)
+    def _():
+        img_ref[0] = img_s[:]
+        tau_ref[0] = tau_s[:]
+        cont_ref[0] = cont_s[:]
 
-def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
+
+def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref, maxcont_ref,
                     packed_ref, g_ref, tau_ref, cont_ref, grads_ref,
                     tau_s, gag_s, *, gx, tile, k, q_total):
     p = tile * tile
@@ -132,13 +147,15 @@ def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
         tau_s[:] = tau_ref[0]
         gag_s[:] = jnp.zeros((p, 1), jnp.float32)
 
-    cont = cont_ref[0]  # [P,1] int32
     pos = pos_ref[rc]
     grads_ref[:] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
 
     # A chunk contributes only if some pixel's contributor count reaches it.
-    @pl.when((work_ref[rc] == 1) & (jnp.max(cont) > pos * k))
+    # The per-tile max count is precomputed outside (maxcont prefetch) so the
+    # test stays scalar — no per-step vector->scalar pipeline stall.
+    @pl.when((work_ref[rc] == 1) & (maxcont_ref[t] > pos * k))
     def _():
+        cont = cont_ref[0]  # [P,1] int32
         data = packed_ref[:]
         g = g_ref[0]  # [3,P] dL/dpixel for this tile
         ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)

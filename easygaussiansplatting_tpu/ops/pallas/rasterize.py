@@ -51,6 +51,12 @@ def _fwd_call(packed_T, meta, *, n_tiles, gx, tile, k, interpret):
             pl.BlockSpec((1, p, 1), out_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 1), out_map, memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((3, p), jnp.float32),   # tile color accumulator
+            pltpu.VMEM((p, 1), jnp.float32),   # transmittance
+            pltpu.VMEM((p, 1), jnp.int32),     # contributor counts
+            pltpu.SMEM((1,), jnp.int32),       # tile-saturated flag
+        ],
     )
     return pl.pallas_call(
         kern,
@@ -76,8 +82,10 @@ def _bwd_call(packed_T, meta, g_tiles, tau_tiles, cont_tiles,
     kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k, q_total=q_total)
     rev_map = lambda i, *_: (0, q_total - 1 - i)
     tile_map = lambda i, t_ref, *_: (t_ref[q_total - 1 - i], 0, 0)
+    # per-tile max contributor count: lets the kernel's skip test stay scalar
+    maxcont = jnp.max(cont_tiles[:, :, 0], axis=1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(q_total,),
         in_specs=[
             pl.BlockSpec((PACK_ROWS, k), rev_map, memory_space=pltpu.VMEM),
@@ -100,7 +108,7 @@ def _bwd_call(packed_T, meta, g_tiles, tau_tiles, cont_tiles,
         interpret=interpret,
     )(
         meta["chunk_tile"], meta["chunk_pos"], meta["chunk_first"],
-        meta["chunk_last"], meta["chunk_work"],
+        meta["chunk_last"], meta["chunk_work"], maxcont,
         packed_T, g_tiles, tau_tiles, cont_tiles,
     )[0]
 
@@ -153,27 +161,31 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     m = binning["patch_gsid"].shape[0]
     capacity = m + n_tiles * k_chunk
     meta = chunk_layout(binning, k_chunk=k_chunk, capacity=capacity)
-    gsid = meta["aligned_gsid"]
+    gsid = binning["patch_gsid"]
     gsafe = jnp.maximum(gsid, 0)
     live = gsid >= 0
 
-    # Differentiable packing: transpose of these gathers = deterministic
-    # scatter-add of the per-patch gradients back onto the gaussians. Every
-    # row is masked by `live`, so cotangents of padding slots and of the
-    # zero rows the kernel writes for skipped chunks are dropped.
-    rows = [
-        jnp.where(live, us[gsafe, 0], 0.0),
-        jnp.where(live, us[gsafe, 1], 0.0),
-        jnp.where(live, cinv2ds[gsafe, 0], 0.0),
-        jnp.where(live, cinv2ds[gsafe, 1], 0.0),
-        jnp.where(live, cinv2ds[gsafe, 2], 0.0),
-        jnp.where(live, alphas[gsafe], 0.0),
-        jnp.where(live, colors[gsafe, 0], 0.0),
-        jnp.where(live, colors[gsafe, 1], 0.0),
-        jnp.where(live, colors[gsafe, 2], 0.0),
-    ]
-    pad = jnp.zeros((PACK_ROWS - len(rows), capacity), jnp.float32)
-    packed_T = jnp.concatenate([jnp.stack(rows, axis=0), pad], axis=0)
+    # Differentiable packing: one [N,16] attribute table, row-gathered per
+    # patch and row-scattered into the chunk-aligned layout. Whole 64-byte
+    # rows keep the random accesses transaction-efficient — per-column
+    # element gathers run ~10x slower on TPU. The transposes XLA synthesises
+    # for the VJP (gather at newpos -> segment scatter-add onto gaussians)
+    # are the deterministic replacement for the reference's atomicAdd
+    # accumulation (gsplatcu/kernel.cu:924-945). Unwritten (padding) slots
+    # stay zero -> alpha' = 0 -> no contribution and no gradient.
+    table = jnp.concatenate(
+        [us, cinv2ds, alphas[:, None], colors,
+         jnp.zeros((us.shape[0], PACK_ROWS - 9), jnp.float32)],
+        axis=1,
+    )  # rows: ux uy ca cb cc alpha r g b pad
+    rows = jnp.take(table, gsafe, axis=0)
+    rows = jnp.where(live[:, None], rows, 0.0)
+    packed = (
+        jnp.zeros((capacity, PACK_ROWS), jnp.float32)
+        .at[meta["patch_newpos"]]
+        .set(rows, mode="drop")
+    )
+    packed_T = packed.T
 
     dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
     image_t, tau_t, cont_t = _raster_packed(dims, packed_T, meta)
