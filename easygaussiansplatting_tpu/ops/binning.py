@@ -238,9 +238,11 @@ def chunk_layout(binning, *, k_chunk, capacity):
     chunk_last = (chunk_tile != nxt).astype(jnp.int32)
 
     i = jnp.arange(m, dtype=jnp.int32)
-    tsafe = jnp.minimum(tile, n_tiles - 1)
     valid = gsid >= 0
-    newpos = jnp.where(valid, new_start[tsafe] + (i - start[tsafe]), capacity)
+    # per-patch alignment shift is tile-segment-constant over the sorted
+    # patch array -> propagate instead of two 1M-index gathers
+    shift = _propagate(start, new_start - start, m)
+    newpos = jnp.where(valid, i + shift, capacity)
     return {
         "patch_newpos": newpos,
         "chunk_tile": chunk_tile,

@@ -4,30 +4,32 @@ TPU-native re-design of the CUDA draw/drawB kernels
 (/root/reference/gsplatcu/kernel.cu:152-271, 809-950), built around the
 grid-pipelined streaming model instead of CUDA's one-block-per-tile model:
 
-* the per-tile draw lists live in HBM as one flat attribute-major packed
-  array [16, capacity], padded so every tile owns a whole number of K-entry
-  chunks (ops/binning.chunk_layout); the pallas grid iterates *chunks*, and
-  the BlockSpec machinery double-buffers each chunk's [16, K] block into VMEM
-  automatically — replacing both CUDA's fetch2shared shared-memory staging
-  (kernel.cu:13-44) and the manual-DMA while_loop of the previous design;
-* chunks of the same tile are consecutive, so the tile's image / transmittance
-  / contributor-count output blocks keep the same block index across those
-  grid steps and stay resident in VMEM (the standard revisited-output
-  accumulation pattern); they are written back to HBM exactly once, when the
-  grid moves to the next tile;
-* inside a chunk, entries sit along *lanes* and pixels along sublanes: the
-  per-pixel sequential blend recurrence becomes lane-axis prefix products
-  (lanescan.py) plus an MXU contraction for the color accumulation;
+* the per-tile draw lists live in HBM as one flat row-major packed array
+  [capacity, 16] (one 64-byte attribute row per patch), padded so every tile
+  owns a whole number of K-entry chunks (ops/binning.chunk_layout); the
+  pallas grid iterates *chunks*, and the BlockSpec machinery double-buffers
+  each chunk's [K, 16] block into VMEM automatically — replacing CUDA's
+  fetch2shared shared-memory staging (kernel.cu:13-44);
+* inside a chunk, entries sit along *sublanes* and pixels along lanes: the
+  per-pixel sequential blend recurrence becomes a sublane-axis prefix
+  product (lanescan.py — sublane rotations are cheap in-register ops) plus
+  an MXU contraction for the color accumulation;
+* a tile's blend state (color, transmittance, contributor counts)
+  accumulates in VMEM scratch across its consecutive chunks and is written
+  to the HBM output blocks exactly once, at the tile's last chunk;
 * per-pixel early termination (tau < 1e-4, kernel.cu:203-207) becomes a
-  whole-tile compute skip once every pixel is saturated (the chunk's DMA
-  still streams — bandwidth is cheaper than a pipeline stall);
+  whole-tile compute skip via an SMEM flag once every pixel is saturated
+  (the chunk's DMA still streams — bandwidth is cheaper than a pipeline
+  stall, and a per-step vector->scalar reduce would stall ~6000 times);
 * the backward walks chunks in reverse grid order, recovers transmittance by
-  division (kernel.cu:916), carries (tau, accumulated-color-gradient) in VMEM
-  scratch across a tile's chunks, and emits per-*patch* gradients to disjoint
-  chunk-aligned HBM blocks — a deterministic segment-sum outside replaces
-  atomicAdd (kernel.cu:924-945). TPU has no atomics; determinism is a
-  feature (bitwise-reproducible gradients).
+  division (kernel.cu:916), carries (tau, accumulated-color-gradient) in
+  VMEM scratch across a tile's chunks, and emits per-*patch* gradients to
+  disjoint chunk-aligned [K, 16] HBM blocks — a deterministic segment-sum
+  outside replaces atomicAdd (kernel.cu:924-945). TPU has no atomics;
+  determinism is a feature (bitwise-reproducible gradients).
 
+Attribute row layout (PACK_ROWS = 16 columns):
+  0 ux, 1 uy, 2 cinv_a, 3 cinv_b, 4 cinv_c, 5 alpha, 6 r, 7 g, 8 b, 9.. pad.
 Padding entries carry alpha = 0 -> alpha' = 0 -> no contribution and zero
 gradients; padding chunks carry work = 0 and are skipped entirely.
 """
@@ -38,8 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from easygaussiansplatting_tpu.ops.pallas.lanescan import (
-    lane_prod_all,
     prefix_prod_exclusive,
+    prod_all,
     suffix_prod_inclusive,
     suffix_sum_exclusive,
 )
@@ -47,31 +49,31 @@ from easygaussiansplatting_tpu.ops.pallas.lanescan import (
 ALPHA_CLAMP = 0.99
 ALPHA_SKIP = 0.002
 TAU_STOP = 1e-4
-PACK_ROWS = 16  # ux uy cinv_a cinv_b cinv_c alpha r g b (+ 7 pad rows)
-GRAD_ROWS = 16  # same row order as PACK_ROWS for the vjp transpose
+PACK_ROWS = 16  # attribute columns per patch row (see layout above)
+GRAD_ROWS = 16  # same column order as PACK_ROWS for the vjp transpose
 _HI = jax.lax.Precision.HIGHEST
 
 
 def _pixel_coords(t, gx, tile, p):
-    """Pixel centres of tile t as [P,1] sublane-major columns (row-major
-    within the tile: p = y*tile + x)."""
+    """Pixel centres of tile t as [1,P] lane-major rows (row-major within
+    the tile: p = y*tile + x)."""
     tx = t % gx
     ty = t // gx
-    sub = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = (tx * tile + sub % tile).astype(jnp.float32)
-    py = (ty * tile + sub // tile).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = (tx * tile + lane % tile).astype(jnp.float32)
+    py = (ty * tile + lane // tile).astype(jnp.float32)
     return px, py
 
 
 def _chunk_alpha(data, px, py):
-    """alpha' [P,K] and reusables from a packed chunk [16,K]."""
-    ux = data[0:1, :]
-    uy = data[1:2, :]
-    ca = data[2:3, :]
-    cb = data[3:4, :]
-    cc = data[4:5, :]
-    alpha = data[5:6, :]
-    dx = ux - px  # [P,K]
+    """alpha' [K,P] and reusables from a packed chunk [K,16]."""
+    ux = data[:, 0:1]
+    uy = data[:, 1:2]
+    ca = data[:, 2:3]
+    cb = data[:, 3:4]
+    cc = data[:, 4:5]
+    alpha = data[:, 5:6]
+    dx = ux - px  # [K,P]
     dy = uy - py
     maha_raw = ca * dx * dx + cc * dy * dy + 2.0 * cb * dx * dy
     maha = jnp.maximum(0.0, maha_raw)
@@ -87,43 +89,38 @@ def forward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
     t = tile_ref[c]
     px, py = _pixel_coords(t, gx, tile, p)
 
-    # The tile's blend state accumulates in VMEM scratch across its chunks;
-    # the HBM output blocks are written exactly once, at the tile's last
-    # chunk — never read-modify-written.
     @pl.when(first_ref[c] == 1)
     def _():
         img_s[:] = jnp.zeros((3, p), jnp.float32)
-        tau_s[:] = jnp.ones((p, 1), jnp.float32)
-        cont_s[:] = jnp.zeros((p, 1), jnp.int32)
+        tau_s[:] = jnp.ones((1, p), jnp.float32)
+        cont_s[:] = jnp.zeros((1, p), jnp.int32)
         sat_s[0] = 0
 
-    # The early-termination test (all pixels saturated, kernel.cu:203-207)
-    # lives in an SMEM flag written only by work chunks: a vector->scalar
-    # reduce on every grid step would stall the pipeline ~6000 times.
     @pl.when((work_ref[c] == 1) & (sat_s[0] == 0))
     def _():
-        tau = tau_s[:]
-        data = packed_ref[:]  # [16, K] chunk block (auto-pipelined)
+        tau = tau_s[:]  # [1,P]
+        data = packed_ref[:]  # [K,16] chunk block (auto-pipelined)
         ap, _ = _chunk_alpha(data, px, py)
         m1 = ap >= ALPHA_SKIP
         one_m = jnp.where(m1, 1.0 - ap, 1.0)
-        tau_ex = tau * prefix_prod_exclusive(one_m)  # [P,K]
+        tau_ex = tau * prefix_prod_exclusive(one_m)  # [K,P]
         contribute = m1 & (tau_ex >= TAU_STOP)
-        wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [P,K]
-        colc = data[6:9, :]  # [3,K]
+        wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [K,P]
+        colc = data[:, 6:9]  # [K,3]
         img_s[:] = img_s[:] + jax.lax.dot_general(
-            colc, wgt, (((1,), (1,)), ((), ())), precision=_HI,
+            colc, wgt, (((0,), (0,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
         )  # [3,P]
-        new_tau = tau * lane_prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[:, 0:1]
+        new_tau = tau * prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[0:1, :]
         tau_s[:] = new_tau
         sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
-        idx1 = pos_ref[c] * k + lane + 1  # 1-based position in the tile list
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
+        idx1 = pos_ref[c] * k + sub + 1  # 1-based position in the tile list
         cont_s[:] = jnp.maximum(
-            cont_s[:], jnp.max(jnp.where(contribute, idx1, 0), axis=1, keepdims=True)
+            cont_s[:], jnp.max(jnp.where(contribute, idx1, 0), axis=0, keepdims=True)
         )
 
+    # Write the tile's outputs once, at its last chunk.
     @pl.when(last_ref[c] == 1)
     def _():
         img_ref[0] = img_s[:]
@@ -145,56 +142,56 @@ def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref, maxcont_re
     @pl.when(last_ref[rc] == 1)
     def _():
         tau_s[:] = tau_ref[0]
-        gag_s[:] = jnp.zeros((p, 1), jnp.float32)
+        gag_s[:] = jnp.zeros((1, p), jnp.float32)
 
     pos = pos_ref[rc]
-    grads_ref[:] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
+    grads_ref[:] = jnp.zeros((k, GRAD_ROWS), jnp.float32)
 
     # A chunk contributes only if some pixel's contributor count reaches it.
     # The per-tile max count is precomputed outside (maxcont prefetch) so the
     # test stays scalar — no per-step vector->scalar pipeline stall.
     @pl.when((work_ref[rc] == 1) & (maxcont_ref[t] > pos * k))
     def _():
-        cont = cont_ref[0]  # [P,1] int32
+        cont = cont_ref[0]  # [1,P] int32
         data = packed_ref[:]
         g = g_ref[0]  # [3,P] dL/dpixel for this tile
         ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
-        idx0 = pos * k + lane
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
+        idx0 = pos * k + sub
         m = (idx0 < cont) & (ap >= ALPHA_SKIP)
 
         one_m = jnp.where(m, 1.0 - ap, 1.0)
-        sfx = suffix_prod_inclusive(one_m)  # [P,K]
+        sfx = suffix_prod_inclusive(one_m)  # [K,P]
         tau_end = tau_s[:]
         tau_ex = tau_end / sfx              # T_{k-1} per entry (drawB division)
-        tau_s[:] = tau_end / sfx[:, 0:1]
+        tau_s[:] = tau_end / sfx[0:1, :]
 
-        contr = jnp.where(m, tau_ex * ap, 0.0)  # [P,K]
-        colc = data[6:9, :]  # [3,K]
-        # cg[p,k] = sum_c g[c,p] * color[c,k]
+        contr = jnp.where(m, tau_ex * ap, 0.0)  # [K,P]
+        colc = data[:, 6:9]  # [K,3]
+        # cg[k,p] = sum_c color[k,c] * g[c,p]
         cg = jax.lax.dot_general(
-            g, colc, (((0,), (0,)), ((), ())), precision=_HI,
+            colc, g, (((1,), (0,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
-        )  # [P,K]
+        )  # [K,P]
         cgw = contr * cg
-        # Gg[p,k] = g . (accumulated color behind entry k) — suffix sum + carry
+        # Gg[k,p] = g . (accumulated color behind entry k) — suffix sum + carry
         gag = gag_s[:]
         Gg = suffix_sum_exclusive(cgw) + gag
-        gag_s[:] = gag + jnp.sum(cgw, axis=1, keepdims=True)
+        gag_s[:] = gag + jnp.sum(cgw, axis=0, keepdims=True)
 
         dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
         unclamped = ap < ALPHA_CLAMP
         e = jnp.exp(-0.5 * jnp.maximum(0.0, maha_raw))
-        dalpha = jnp.sum(jnp.where(m & unclamped, dap * e, 0.0), axis=0, keepdims=True)  # [1,K]
-        dm = jnp.where(m & unclamped & (maha_raw > 0.0), dap * (-0.5) * ap, 0.0)  # [P,K]
+        dalpha = jnp.sum(jnp.where(m & unclamped, dap * e, 0.0), axis=1, keepdims=True)  # [K,1]
+        dm = jnp.where(m & unclamped & (maha_raw > 0.0), dap * (-0.5) * ap, 0.0)  # [K,P]
 
-        # moment sums over pixels (sublanes)
-        s0 = jnp.sum(dm, axis=0, keepdims=True)
-        sx = jnp.sum(dm * px, axis=0, keepdims=True)
-        sy = jnp.sum(dm * py, axis=0, keepdims=True)
-        sxx = jnp.sum(dm * px * px, axis=0, keepdims=True)
-        sxy = jnp.sum(dm * px * py, axis=0, keepdims=True)
-        syy = jnp.sum(dm * py * py, axis=0, keepdims=True)
+        # moment sums over pixels (lanes)
+        s0 = jnp.sum(dm, axis=1, keepdims=True)  # [K,1]
+        sx = jnp.sum(dm * px, axis=1, keepdims=True)
+        sy = jnp.sum(dm * py, axis=1, keepdims=True)
+        sxx = jnp.sum(dm * px * px, axis=1, keepdims=True)
+        sxy = jnp.sum(dm * px * py, axis=1, keepdims=True)
+        syy = jnp.sum(dm * py * py, axis=1, keepdims=True)
         ex = ux * s0 - sx  # sum dm * dx
         ey = uy * s0 - sy
         dux = 2.0 * ca * ex + 2.0 * cb * ey
@@ -203,16 +200,16 @@ def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref, maxcont_re
         dcb = 2.0 * (ux * uy * s0 - ux * sy - uy * sx + sxy)
         dcc = uy * uy * s0 - 2.0 * uy * sy + syy
 
-        # dcolor[c,k] = sum_p g[c,p] * contr[p,k]
+        # dcolor[k,c] = sum_p contr[k,p] * g[c,p]
         dcolor = jax.lax.dot_general(
-            g, contr, (((1,), (0,)), ((), ())), precision=_HI,
+            contr, g, (((1,), (1,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
-        )  # [3,K]
+        )  # [K,3]
 
-        grads_ref[0:1, :] = dux
-        grads_ref[1:2, :] = duy
-        grads_ref[2:3, :] = dca
-        grads_ref[3:4, :] = dcb
-        grads_ref[4:5, :] = dcc
-        grads_ref[5:6, :] = dalpha
-        grads_ref[6:9, :] = dcolor
+        grads_ref[:, 0:1] = dux
+        grads_ref[:, 1:2] = duy
+        grads_ref[:, 2:3] = dca
+        grads_ref[:, 3:4] = dcb
+        grads_ref[:, 4:5] = dcc
+        grads_ref[:, 5:6] = dalpha
+        grads_ref[:, 6:9] = dcolor

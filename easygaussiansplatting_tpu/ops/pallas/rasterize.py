@@ -2,14 +2,15 @@
 plumbing for the streaming chunk-grid kernels (kernels.py).
 
 The autodiff boundary sits around the packed per-patch attribute array: the
-gather (gaussian attrs -> patch order) is built with differentiable JAX ops
-*outside* the custom_vjp, so its transpose — a deterministic scatter-add over
-patch gsids — is synthesised by XLA and plays the role of the reference's
-atomicAdd accumulation plus the Python matmul chain entry point
-(/root/reference/gsplat/gsmodel.py:52-93). Inside the custom_vjp, forward and
-backward are single pallas_calls whose grid streams the chunk-aligned patch
-array; per-chunk metadata rides in scalar-prefetch arrays so the BlockSpec
-index maps can route each chunk to its owning image tile.
+row gather/scatter that builds it is differentiable JAX *outside* the
+custom_vjp, so its transpose — a deterministic segment scatter-add of
+per-patch gradients onto Gaussians — is synthesised by XLA and plays the
+role of the reference's atomicAdd accumulation plus the Python matmul chain
+entry point (/root/reference/gsplat/gsmodel.py:52-93). Inside the
+custom_vjp, forward and backward are single pallas_calls whose grid streams
+the chunk-aligned patch array; per-chunk metadata rides in scalar-prefetch
+arrays so the BlockSpec index maps can route each chunk to its owning image
+tile.
 """
 
 import functools
@@ -34,9 +35,9 @@ def _use_interpret():
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
-def _fwd_call(packed_T, meta, *, n_tiles, gx, tile, k, interpret):
+def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret):
     p = tile * tile
-    q_total = packed_T.shape[1] // k
+    q_total = packed.shape[0] // k
     kern = functools.partial(forward_kernel, gx=gx, tile=tile, k=k)
     # index maps receive (grid idx, *scalar-prefetch refs)
     out_map = lambda c, t_ref, *_: (t_ref[c], 0, 0)
@@ -44,17 +45,17 @@ def _fwd_call(packed_T, meta, *, n_tiles, gx, tile, k, interpret):
         num_scalar_prefetch=5,  # chunk_tile, chunk_pos, first, last, work
         grid=(q_total,),
         in_specs=[
-            pl.BlockSpec((PACK_ROWS, k), lambda c, *_: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, PACK_ROWS), lambda c, *_: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 3, p), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), out_map, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((3, p), jnp.float32),   # tile color accumulator
-            pltpu.VMEM((p, 1), jnp.float32),   # transmittance
-            pltpu.VMEM((p, 1), jnp.int32),     # contributor counts
+            pltpu.VMEM((1, p), jnp.float32),   # transmittance
+            pltpu.VMEM((1, p), jnp.int32),     # contributor counts
             pltpu.SMEM((1,), jnp.int32),       # tile-saturated flag
         ],
     )
@@ -63,80 +64,80 @@ def _fwd_call(packed_T, meta, *, n_tiles, gx, tile, k, interpret):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
         ],
         interpret=interpret,
     )(
         meta["chunk_tile"], meta["chunk_pos"], meta["chunk_first"],
-        meta["chunk_last"], meta["chunk_work"], packed_T,
+        meta["chunk_last"], meta["chunk_work"], packed,
     )
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
-def _bwd_call(packed_T, meta, g_tiles, tau_tiles, cont_tiles,
+def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
               *, n_tiles, gx, tile, k, interpret):
     p = tile * tile
-    m_pad = packed_T.shape[1]
-    q_total = m_pad // k
+    capacity = packed.shape[0]
+    q_total = capacity // k
     kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k, q_total=q_total)
-    rev_map = lambda i, *_: (0, q_total - 1 - i)
+    rev_map = lambda i, *_: (q_total - 1 - i, 0)
     tile_map = lambda i, t_ref, *_: (t_ref[q_total - 1 - i], 0, 0)
     # per-tile max contributor count: lets the kernel's skip test stay scalar
-    maxcont = jnp.max(cont_tiles[:, :, 0], axis=1).astype(jnp.int32)
+    maxcont = jnp.max(cont_tiles[:, 0, :], axis=1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(q_total,),
         in_specs=[
-            pl.BlockSpec((PACK_ROWS, k), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, PACK_ROWS), rev_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, p), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), tile_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GRAD_ROWS, k), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, GRAD_ROWS), rev_map, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((p, 1), jnp.float32),  # transmittance carry
-            pltpu.VMEM((p, 1), jnp.float32),  # accumulated color-grad carry
+            pltpu.VMEM((1, p), jnp.float32),  # transmittance carry
+            pltpu.VMEM((1, p), jnp.float32),  # accumulated color-grad carry
         ],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((capacity, GRAD_ROWS), jnp.float32)],
         interpret=interpret,
     )(
         meta["chunk_tile"], meta["chunk_pos"], meta["chunk_first"],
         meta["chunk_last"], meta["chunk_work"], maxcont,
-        packed_T, g_tiles, tau_tiles, cont_tiles,
+        packed, g_tiles, tau_tiles, cont_tiles,
     )[0]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _raster_packed(dims, packed_T, meta):
+def _raster_packed(dims, packed, meta):
     n_tiles, gx, tile, k, interpret = dims
-    return _fwd_call(packed_T, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k,
+    return _fwd_call(packed, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k,
                      interpret=interpret)
 
 
-def _raster_packed_fwd(dims, packed_T, meta):
+def _raster_packed_fwd(dims, packed, meta):
     n_tiles, gx, tile, k, interpret = dims
     image, tau, cont = _fwd_call(
-        packed_T, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret
+        packed, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret
     )
-    return (image, tau, cont), (packed_T, meta, tau, cont)
+    return (image, tau, cont), (packed, meta, tau, cont)
 
 
 def _raster_packed_bwd(dims, res, cotangents):
     n_tiles, gx, tile, k, interpret = dims
-    packed_T, meta, tau, cont = res
+    packed, meta, tau, cont = res
     g_img, _, _ = cotangents  # gradients w.r.t. tau/contrib are not propagated
-    grads_T = _bwd_call(
-        packed_T, meta, g_img, tau, cont,
+    grads = _bwd_call(
+        packed, meta, g_img, tau, cont,
         n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
     )
-    return grads_T, {k: None for k in meta}
+    return grads, {key: None for key in meta}
 
 
 _raster_packed.defvjp(_raster_packed_fwd, _raster_packed_bwd)
@@ -177,18 +178,19 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
         [us, cinv2ds, alphas[:, None], colors,
          jnp.zeros((us.shape[0], PACK_ROWS - 9), jnp.float32)],
         axis=1,
-    )  # rows: ux uy ca cb cc alpha r g b pad
+    )  # columns: ux uy ca cb cc alpha r g b pad
     rows = jnp.take(table, gsafe, axis=0)
     rows = jnp.where(live[:, None], rows, 0.0)
+    # .add, not .set: destinations are unique and the base is zero, so the
+    # results are identical — but XLA lowers scatter-add ~5x faster on TPU.
     packed = (
         jnp.zeros((capacity, PACK_ROWS), jnp.float32)
         .at[meta["patch_newpos"]]
-        .set(rows, mode="drop")
+        .add(rows, mode="drop")
     )
-    packed_T = packed.T
 
     dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
-    image_t, tau_t, cont_t = _raster_packed(dims, packed_T, meta)
+    image_t, tau_t, cont_t = _raster_packed(dims, packed, meta)
 
     # [T,3,P] -> [3,H,W]
     img = image_t.reshape(gy, gx, 3, tile, tile)
