@@ -95,7 +95,10 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
 
     # Level 1: one slot per covered tile-row of each gaussian. Row slot j of
     # gaussian i covers tile-row y0[i] + (j - rstart[i]), so the per-slot
-    # quantity c1 = (y0 - rstart) * gx + x0 is segment-constant.
+    # quantity c1 = (y0 - rstart) * gx + x0 is segment-constant. Each
+    # propagation stays a flat [max_patches] array — batching them as a
+    # [max_patches, k] minor axis pads k up to the 128-lane tile and wastes
+    # ~40x the scan bandwidth (measured slower).
     row_counts = jnp.where(valid_s, y1 - y0, 0).astype(jnp.int32)
     rcum = jnp.cumsum(row_counts)
     rstart = rcum - row_counts

@@ -30,8 +30,11 @@ from easygaussiansplatting_tpu.utils.image import psnr
 
 
 def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None,
-                  seed=0, log_fn=print, eval_every=10, epoch_cb=None):
-    """Full training over a device mesh. Returns (pool, history)."""
+                  seed=0, log_fn=print, eval_every=10, epoch_cb=None,
+                  adam_state=None, stats=None, start_epoch=0, key=None):
+    """Full training over a device mesh. Pass adam_state/stats/start_epoch/key
+    (from train.checkpoint.load_checkpoint) to resume. Returns
+    (pool, history)."""
     if batch is None:
         batch = mesh.shape["data"]
     if batch % mesh.shape["data"] != 0:
@@ -43,8 +46,9 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
             f"pool capacity {pool.capacity} not divisible by gs axis {mesh.shape['gs']}"
         )
 
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed + start_epoch)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
     n = len(cameras)
     steps_per_epoch = max(1, n // batch)
     max_steps = config.epochs * steps_per_epoch
@@ -55,13 +59,15 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
     for i, c in enumerate(cameras):
         buckets[(c.width, c.height)].append(i)
 
-    adam_state = adam_init(pool.params())
-    stats = density_stats_init(pool.capacity)
+    if adam_state is None:
+        adam_state = adam_init(pool.params())
+    if stats is None:
+        stats = density_stats_init(pool.capacity)
     pool, adam_state, stats = shard_pool(mesh, pool, adam_state, stats)
     gt_np = [np.asarray(im, np.float32) for im in gt_images]
 
     history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": []}
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         losses = []
         for idxs in _epoch_batches(buckets, batch, rng):
@@ -102,7 +108,7 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} alive={history['n_alive'][-1]} "
                    f"({history['epoch_time'][-1]:.1f}s)")
         if epoch_cb is not None:
-            epoch_cb(e, pool)
+            epoch_cb(e, pool, adam_state, stats, key)
     return pool, history
 
 

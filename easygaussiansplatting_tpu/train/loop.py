@@ -67,21 +67,27 @@ def make_train_step(config: TrainConfig, scene_size: float, max_steps: int):
     return train_step
 
 
-def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0, log_fn=print, eval_every=10, epoch_cb=None):
+def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
+          log_fn=print, eval_every=10, epoch_cb=None,
+          adam_state=None, stats=None, start_epoch=0, key=None):
     """Full training. cameras: list of Camera (same W,H); gt_images: list of
-    [3,H,W] arrays. Returns (pool, history)."""
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
+    [3,H,W] arrays. Pass adam_state/stats/start_epoch/key (from
+    train.checkpoint.load_checkpoint) to resume. Returns (pool, history)."""
+    rng = np.random.default_rng(seed + start_epoch)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
     n = len(cameras)
     max_steps = config.epochs * n
     train_step = make_train_step(config, scene_size, max_steps)
 
-    adam_state = adam_init(pool.params())
-    stats = density_stats_init(pool.capacity)
+    if adam_state is None:
+        adam_state = adam_init(pool.params())
+    if stats is None:
+        stats = density_stats_init(pool.capacity)
     gt_images = [jnp.asarray(g, jnp.float32) for g in gt_images]
 
     history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": []}
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         order = rng.permutation(n)
         losses = []
@@ -118,5 +124,5 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0, log
         else:
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} alive={history['n_alive'][-1]}")
         if epoch_cb is not None:
-            epoch_cb(e, pool)
+            epoch_cb(e, pool, adam_state, stats, key)
     return pool, history

@@ -17,12 +17,11 @@ def orbit_cameras(center, radius, n_frames=60, width=640, height=480,
     height of the ring above center in units of radius."""
     center = np.asarray(center, np.float64)
     f = f or 0.9 * width
+    s = np.sqrt(1.0 + elevation**2)  # unit-norm offset: |pos - center| == radius
     cams = []
     for i in range(n_frames):
         a = 2.0 * np.pi * i / n_frames
-        pos = center + radius * np.array(
-            [np.cos(a), np.sin(a), elevation / np.sqrt(1 + elevation**2)]
-        )
+        pos = center + (radius / s) * np.array([np.cos(a), np.sin(a), elevation])
         cams.append(look_at_camera(pos, center, width, height, f, up=up, cam_id=i))
     return cams
 

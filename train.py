@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--save-every", type=int, default=10)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", help="checkpoint .npz to resume from")
     args = ap.parse_args()
 
     import jax
@@ -70,18 +71,28 @@ def main():
     else:
         ap.error("need --path or --synthetic")
 
+    from easygaussiansplatting_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
     config = TrainConfig(
         epochs=args.epochs, backend=args.backend, max_patches=args.max_patches,
         save_every_epochs=args.save_every,
     )
-    n0 = len(gs["pws"])
-    capacity = args.capacity or int(config.capacity_headroom * n0)
-    capacity = ((capacity + 255) // 256) * 256
-    pool = pool_from_arrays(
-        gs["pws"], gs["rots"], gs["scales"], gs["alphas"], gs["shs"], capacity=capacity
-    )
-    print(f"pool capacity {capacity} ({n0} alive), backend={args.backend}, "
-          f"devices={jax.device_count()}")
+    resume = {}
+    if args.resume:
+        pool, adam_state, stats, epoch0, key0 = load_checkpoint(args.resume)
+        resume = dict(adam_state=adam_state, stats=stats, start_epoch=epoch0, key=key0)
+        print(f"resumed from {args.resume} at epoch {epoch0} "
+              f"(capacity {pool.capacity})")
+    else:
+        n0 = len(gs["pws"])
+        capacity = args.capacity or int(config.capacity_headroom * n0)
+        capacity = ((capacity + 255) // 256) * 256
+        pool = pool_from_arrays(
+            gs["pws"], gs["rots"], gs["scales"], gs["alphas"], gs["shs"],
+            capacity=capacity,
+        )
+        print(f"pool capacity {capacity} ({n0} alive), backend={args.backend}, "
+              f"devices={jax.device_count()}")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -89,9 +100,12 @@ def main():
     def log_fn(msg):
         print(f"{time.strftime('%H:%M:%S')} {msg}", flush=True)
 
-    def save_cb(epoch, pool):
+    def save_cb(epoch, pool, adam_state=None, stats=None, key=None):
         if epoch % config.save_every_epochs == 0 or epoch == config.epochs:
             save_pool(out / f"epoch{epoch:04d}.npy", pool)
+            if adam_state is not None:
+                save_checkpoint(out / "checkpoint.npz", pool, adam_state, stats,
+                                epoch=epoch, key=key)
 
     if args.batch > 1:
         from easygaussiansplatting_tpu.parallel import make_mesh
@@ -102,14 +116,14 @@ def main():
         pool, history = train_sharded(
             pool, cameras, images, config, scene_size, mesh,
             batch=args.batch, seed=args.seed, log_fn=log_fn,
-            eval_every=args.eval_every, epoch_cb=save_cb,
+            eval_every=args.eval_every, epoch_cb=save_cb, **resume,
         )
     else:
         pool, history = train(
             pool, cameras, images, config, scene_size,
             seed=args.seed, log_fn=log_fn, eval_every=args.eval_every,
+            epoch_cb=save_cb, **resume,
         )
-        save_cb(config.epochs, pool)
 
     save_pool(out / "final.npy", pool)
     log_fn(f"saved {out}/final.npy; last loss {history['loss'][-1]:.5f}")
