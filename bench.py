@@ -56,7 +56,9 @@ def main():
     )
     gt = jnp.zeros((3, height, width), jnp.float32)
     backend = "pallas"
-    max_patches = 2**20 if on_tpu else 2**14
+    # ~1.4x headroom over the scene's 549k patches — what the trainer's
+    # adaptive budget (train.loop.PatchBudget) would converge to
+    max_patches = 786432 if on_tpu else 2**14
 
     @jax.jit
     def step(params, gt):

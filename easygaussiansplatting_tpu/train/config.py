@@ -50,5 +50,13 @@ class TrainConfig:
     n_chunks: int = 16
     sh_degree: int = 3
 
+    # adaptive patch budget: binning/packing cost scales with the static
+    # max_patches, so the trainer re-sizes it to ~budget_headroom x the
+    # observed per-step patch count at epoch boundaries (one recompile per
+    # size bucket; the reference instead reads the exact count back to the
+    # host every step, gausplat.cu:67)
+    adaptive_budget: bool = True
+    budget_headroom: float = 1.5
+
     # pool
     capacity_headroom: float = 4.0  # initial capacity = headroom * n_init

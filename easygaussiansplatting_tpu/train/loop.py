@@ -38,8 +38,13 @@ def render_pool_image(pool, cam, config, us_offset=None):
     )
 
 
-def make_train_step(config: TrainConfig, scene_size: float, max_steps: int):
+def make_train_step(config: TrainConfig, scene_size: float, max_steps: int,
+                    max_patches=None):
     lr_fns = make_lr_fns(config, scene_size, max_steps)
+    if max_patches is not None:
+        import dataclasses
+
+        config = dataclasses.replace(config, max_patches=max_patches)
 
     @jax.jit
     def train_step(pool, adam_state, stats, cam, gt_image):
@@ -62,9 +67,35 @@ def make_train_step(config: TrainConfig, scene_size: float, max_steps: int):
         # (gsmodel.py:50); restrict to alive slots on the pool
         visible = (aux["depths"] >= 0.2) & pool.alive
         stats = update_density_stats(stats, g_us, visible)
-        return pool.replace_params(new_params), adam_state, stats, loss
+        binning = aux.get("binning")
+        n_patches = binning["total"] if binning is not None else jnp.int32(0)
+        return pool.replace_params(new_params), adam_state, stats, loss, n_patches
 
     return train_step
+
+
+class PatchBudget:
+    """Epoch-granular adaptive max_patches (multiple of 16384 for the scan
+    kernel; one jit cache entry per size)."""
+
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        self.value = _round_budget(config.max_patches)
+
+    def update(self, observed_max: int) -> bool:
+        """Returns True if the budget changed (recompile needed)."""
+        if not self.config.adaptive_budget:
+            return False
+        want = _round_budget(int(observed_max * self.config.budget_headroom))
+        if observed_max > 0.9 * self.value or want < 0.5 * self.value:
+            if want != self.value:
+                self.value = want
+                return True
+        return False
+
+
+def _round_budget(n, quantum=16384):
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
 def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
@@ -78,7 +109,8 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
         key = jax.random.PRNGKey(seed)
     n = len(cameras)
     max_steps = config.epochs * n
-    train_step = make_train_step(config, scene_size, max_steps)
+    budget = PatchBudget(config)
+    train_step = make_train_step(config, scene_size, max_steps, max_patches=budget.value)
 
     if adam_state is None:
         adam_state = adam_init(pool.params())
@@ -91,14 +123,21 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
         t0 = time.time()
         order = rng.permutation(n)
         losses = []
+        patch_peak = []
         for i in order:
-            pool, adam_state, stats, loss = train_step(
+            pool, adam_state, stats, loss, n_patches = train_step(
                 pool, adam_state, stats, cameras[i], gt_images[i]
             )
             losses.append(loss)
+            patch_peak.append(n_patches)
         avg_loss = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(avg_loss)
         history["epoch_time"].append(time.time() - t0)
+        if budget.update(int(jnp.max(jnp.stack(patch_peak)))):
+            log_fn(f"[epoch {epoch + 1}] patch budget -> {budget.value}")
+            train_step = make_train_step(
+                config, scene_size, max_steps, max_patches=budget.value
+            )
 
         e = epoch + 1
         if e % config.densify_every_epochs == 0 and e <= config.densify_until_epoch and e > 1:

@@ -30,16 +30,16 @@ def test_resume_bit_exact(tmp_path):
     key = jax.random.PRNGKey(3)
 
     # two steps, checkpoint, two more
-    pool1, adam1, stats1, _ = step(pool, adam, stats, cam, gts[0])
-    pool2, adam2, stats2, _ = step(pool1, adam1, stats1, cam, gts[1])
+    pool1, adam1, stats1, _, _ = step(pool, adam, stats, cam, gts[0])
+    pool2, adam2, stats2, _, _ = step(pool1, adam1, stats1, cam, gts[1])
     save_checkpoint(tmp_path / "ck.npz", pool2, adam2, stats2, epoch=2, key=key)
-    pool3, adam3, stats3, loss3 = step(pool2, adam2, stats2, cam, gts[0])
+    pool3, adam3, stats3, loss3, _ = step(pool2, adam2, stats2, cam, gts[0])
 
     # restore and repeat the third step
     rpool, radam, rstats, epoch, rkey = load_checkpoint(tmp_path / "ck.npz")
     assert epoch == 2
     assert jnp.all(jax.random.key_data(rkey) == jax.random.key_data(key))
-    qpool, qadam, qstats, qloss = step(rpool, radam, rstats, cam, gts[0])
+    qpool, qadam, qstats, qloss, _ = step(rpool, radam, rstats, cam, gts[0])
 
     assert float(qloss) == float(loss3)
     for k, v in pool3.params().items():
