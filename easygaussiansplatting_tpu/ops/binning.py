@@ -182,115 +182,63 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     }
 
 
-@partial(jax.jit, static_argnames=("k_chunk", "capacity"))
-def align_tile_ranges(binning, *, k_chunk, capacity):
-    """Re-pack the sorted patch list so every tile's draw list is padded to a
-    multiple of k_chunk and starts chunk-aligned.
+@partial(jax.jit, static_argnames=("k_chunk", "n_tiles"))
+def segment_layout(binning, *, k_chunk, n_tiles):
+    """(chunk x tile) segment metadata for the streaming Pallas rasteriser.
 
-    Alignment lets the Pallas kernels DMA fixed-size chunks and write
-    per-patch gradients to disjoint, aligned HBM ranges (no atomics, no
-    read-modify-write hazards). Padding slots carry gsid = -1.
+    The kernels stream the *unpadded* sorted patch array in K-entry chunks;
+    a chunk may span several tiles, so the grid iterates maximal runs that
+    lie in one chunk AND one tile ("segments"). Segment boundaries are the
+    union of the chunk boundaries and the tile starts, giving a static
+    Q = max_patches // K + n_tiles grid. Compared to physically re-packing
+    every tile's list to chunk-aligned slots, this removes the 1M-row
+    alignment scatter, the alignment padding's DMA, and the backward
+    unshuffle entirely.
 
-    `capacity` must be >= max_patches + n_tiles * k_chunk, which is the exact
-    worst case — with that bound nothing beyond the original binning overflow
-    is ever dropped.
-
-    Returns dict: aligned_gsid [capacity] int32, tile_start [T] (aligned),
-    tile_n_chunks [T] int32, total int32.
+    Returns [Q] int32 prefetch arrays:
+      seg_chunk  — input chunk (block index into the packed patch array)
+      seg_tile   — owning tile (empty tiles never appear; the caller masks
+                   their outputs with tile_cnt)
+      seg_lo/hi  — the segment's sublane range within the chunk (lo == hi
+                   for zero-length segments)
+      seg_pos    — position of the segment's first entry in its tile's list
+      seg_first / seg_last — tile-boundary flags (blend-state init / output
+                   write-back)
+      chunk_tail — 1 on the last segment of each chunk (backward grad-block
+                   zero-init, which walks segments in reverse)
     """
-    gsid = binning["patch_gsid"]
-    tile = binning["patch_tile"]
     start = binning["tile_start"]
-    cnt = binning["tile_cnt"]
-    m = gsid.shape[0]
-    n_tiles = start.shape[0]
-
-    pad_cnt = ((cnt + k_chunk - 1) // k_chunk) * k_chunk
-    new_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(pad_cnt)[:-1].astype(jnp.int32)])
-    total = jnp.sum(pad_cnt)
-
-    i = jnp.arange(m, dtype=jnp.int32)
-    tsafe = jnp.minimum(tile, n_tiles - 1)
-    valid = gsid >= 0
-    newpos = jnp.where(valid, new_start[tsafe] + (i - start[tsafe]), capacity)
-    aligned = jnp.full(capacity, -1, jnp.int32).at[newpos].set(gsid, mode="drop")
-    return {
-        "aligned_gsid": aligned,
-        "tile_start": new_start,
-        "tile_n_chunks": (pad_cnt // k_chunk).astype(jnp.int32),
-        "total": total,
-    }
-
-
-@partial(jax.jit, static_argnames=("k_chunk", "capacity"))
-def chunk_layout(binning, *, k_chunk, capacity):
-    """Chunk-grid layout for the streaming Pallas rasteriser.
-
-    Re-packs the sorted patch list so every tile owns a whole number of
-    K-entry chunks (at least one — empty tiles get a pure-padding chunk so
-    their image block is still initialised and written), plus per-chunk
-    metadata consumed as scalar-prefetch arrays by the kernels:
-
-      patch_newpos [max_patches] int32 — destination slot of each sorted
-                   patch in the chunk-aligned layout (`capacity` = dropped);
-                   the caller row-scatters packed attributes with it.
-      chunk_tile   [Q] int32 — owning tile (non-decreasing; trailing padding
-                   chunks continue the last tile so no extra writebacks).
-      chunk_pos    [Q] int32 — chunk index within its tile.
-      chunk_first / chunk_last [Q] int32 — tile-boundary flags.
-      chunk_work   [Q] int32 — 1 if the chunk overlaps the tile's real
-                   (unpadded) patch range; pure-padding chunks are skipped.
-
-    Q = capacity // k_chunk. `capacity` must be >= max_patches +
-    n_tiles * k_chunk — the exact worst case (every tile padded < K, empty
-    tiles K); with that bound nothing beyond the original binning overflow is
-    ever dropped.
-    """
-    gsid = binning["patch_gsid"]
-    tile = binning["patch_tile"]
-    start = binning["tile_start"]
-    cnt = binning["tile_cnt"]
-    m = gsid.shape[0]
-    n_tiles = start.shape[0]
+    m = binning["patch_gsid"].shape[0]
     k = k_chunk
-    q_total = capacity // k
+    n_chunks = m // k
 
-    pad_cnt = jnp.maximum(((cnt + k - 1) // k) * k, k)
-    tile_chunks = pad_cnt // k  # [T] >= 1
-    new_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(pad_cnt)[:-1].astype(jnp.int32)]
+    bounds = jnp.concatenate(
+        [jnp.arange(n_chunks, dtype=jnp.int32) * k, start.astype(jnp.int32)]
     )
-    csum = jnp.cumsum(tile_chunks).astype(jnp.int32)  # inclusive, in chunks
-    total_chunks = csum[-1]
-
-    q = jnp.arange(q_total, dtype=jnp.int32)
-    ct = jnp.searchsorted(csum, q, side="right").astype(jnp.int32)
-    ct = jnp.minimum(ct, n_tiles - 1)
-    pos = q - (csum[ct] - tile_chunks[ct])
-    in_real = q < total_chunks
-    chunk_tile = jnp.where(in_real, ct, n_tiles - 1)
-    chunk_work = (in_real & (pos * k < cnt[ct])).astype(jnp.int32)
-    # padding chunks: position past any real entry so masks stay false
-    chunk_pos = jnp.where(in_real, pos, jnp.int32(1 << 22))
-    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), chunk_tile[:-1]])
-    nxt = jnp.concatenate([chunk_tile[1:], jnp.full(1, -1, jnp.int32)])
-    chunk_first = (chunk_tile != prev).astype(jnp.int32)
-    chunk_last = (chunk_tile != nxt).astype(jnp.int32)
-
-    i = jnp.arange(m, dtype=jnp.int32)
-    valid = gsid >= 0
-    # per-patch alignment shift is tile-segment-constant over the sorted
-    # patch array -> propagate instead of two 1M-index gathers
-    shift = _propagate(start, new_start - start, m)
-    newpos = jnp.where(valid, i + shift, capacity)
+    seg_start = jnp.sort(bounds)
+    seg_end = jnp.concatenate([seg_start[1:], jnp.full(1, m, jnp.int32)])
+    seg_chunk = jnp.minimum(seg_start // k, n_chunks - 1)
+    seg_lo = seg_start - seg_chunk * k
+    seg_hi = jnp.minimum(seg_lo + (seg_end - seg_start), k)
+    # owning tile: the last tile whose start <= seg_start (empty tiles lose
+    # the tie and are skipped; their outputs are masked by tile_cnt outside)
+    seg_tile = (
+        jnp.searchsorted(start, seg_start, side="right").astype(jnp.int32) - 1
+    )
+    seg_tile = jnp.clip(seg_tile, 0, n_tiles - 1)
+    seg_pos = seg_start - start[seg_tile]
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), seg_tile[:-1]])
+    nxt = jnp.concatenate([seg_tile[1:], jnp.full(1, -1, jnp.int32)])
+    nxt_chunk = jnp.concatenate([seg_chunk[1:], jnp.full(1, -1, jnp.int32)])
     return {
-        "patch_newpos": newpos,
-        "chunk_tile": chunk_tile,
-        "chunk_pos": chunk_pos,
-        "chunk_first": chunk_first,
-        "chunk_last": chunk_last,
-        "chunk_work": chunk_work,
-        "total": jnp.sum(pad_cnt),
+        "seg_chunk": seg_chunk,
+        "seg_tile": seg_tile,
+        "seg_lo": seg_lo,
+        "seg_hi": seg_hi,
+        "seg_pos": seg_pos,
+        "seg_first": (seg_tile != prev).astype(jnp.int32),
+        "seg_last": (seg_tile != nxt).astype(jnp.int32),
+        "chunk_tail": (seg_chunk != nxt_chunk).astype(jnp.int32),
     }
 
 

@@ -1,37 +1,42 @@
 """Pallas TPU rasterisation kernels (stage 6 forward + backward).
 
 TPU-native re-design of the CUDA draw/drawB kernels
-(/root/reference/gsplatcu/kernel.cu:152-271, 809-950), built around the
-grid-pipelined streaming model instead of CUDA's one-block-per-tile model:
+(/root/reference/gsplatcu/kernel.cu:152-271, 809-950), built around a
+*segmented chunk grid* instead of CUDA's one-block-per-tile model:
 
-* the per-tile draw lists live in HBM as one flat row-major packed array
-  [capacity, 16] (one 64-byte attribute row per patch), padded so every tile
-  owns a whole number of K-entry chunks (ops/binning.chunk_layout); the
-  pallas grid iterates *chunks*, and the BlockSpec machinery double-buffers
-  each chunk's [K, 16] block into VMEM automatically — replacing CUDA's
-  fetch2shared shared-memory staging (kernel.cu:13-44);
+* the depth-and-tile-sorted patch list lives in HBM exactly as binning
+  produced it — [max_patches, 16] attribute rows, no alignment padding, no
+  re-packing scatter; the BlockSpec machinery double-buffers K-row chunks
+  into VMEM;
+* a chunk may span several tiles, so the grid iterates (chunk x tile)
+  *segments* (ops/binning.segment_layout): each grid step processes one
+  chunk block with lanes outside [seg_lo, seg_hi) masked out. Consecutive
+  segments of one chunk reuse the resident block; consecutive segments of
+  one tile accumulate into the same VMEM blend state;
 * inside a chunk, entries sit along *sublanes* and pixels along lanes: the
   per-pixel sequential blend recurrence becomes a sublane-axis prefix
-  product (lanescan.py — sublane rotations are cheap in-register ops) plus
-  an MXU contraction for the color accumulation;
+  product (lanescan.py) plus an MXU contraction for the color accumulation
+  (CUDA: fetch2shared staging + a sequential per-pixel loop);
 * a tile's blend state (color, transmittance, contributor counts)
-  accumulates in VMEM scratch across its consecutive chunks and is written
-  to the HBM output blocks exactly once, at the tile's last chunk;
+  accumulates in VMEM scratch across its segments and is written to the HBM
+  output blocks once, at the tile's last segment; tiles with no patches are
+  never visited — the caller fills them from tile_cnt;
 * per-pixel early termination (tau < 1e-4, kernel.cu:203-207) becomes a
   whole-tile compute skip via an SMEM flag once every pixel is saturated
-  (the chunk's DMA still streams — bandwidth is cheaper than a pipeline
-  stall, and a per-step vector->scalar reduce would stall ~6000 times);
-* the backward walks chunks in reverse grid order, recovers transmittance by
+  (a per-step vector->scalar reduce would stall the pipeline thousands of
+  times);
+* the backward walks segments in reverse, recovers transmittance by
   division (kernel.cu:916), carries (tau, accumulated-color-gradient) in
-  VMEM scratch across a tile's chunks, and emits per-*patch* gradients to
-  disjoint chunk-aligned [K, 16] HBM blocks — a deterministic segment-sum
-  outside replaces atomicAdd (kernel.cu:924-945). TPU has no atomics;
-  determinism is a feature (bitwise-reproducible gradients).
+  VMEM scratch, and accumulates per-*patch* gradients into revisited
+  chunk-aligned [K, 16] output blocks (zeroed at each chunk's first reverse
+  visit) — a deterministic segment scatter-add outside replaces atomicAdd
+  (kernel.cu:924-945). TPU has no atomics; determinism is a feature
+  (bitwise-reproducible gradients).
 
 Attribute row layout (PACK_ROWS = 16 columns):
   0 ux, 1 uy, 2 cinv_a, 3 cinv_b, 4 cinv_c, 5 alpha, 6 r, 7 g, 8 b, 9.. pad.
-Padding entries carry alpha = 0 -> alpha' = 0 -> no contribution and zero
-gradients; padding chunks carry work = 0 and are skipped entirely.
+Padding entries (dropped patches, budget tail) carry alpha = 0 ->
+alpha' = 0 -> no contribution and zero gradients.
 """
 
 import jax
@@ -81,27 +86,33 @@ def _chunk_alpha(data, px, py):
     return ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha)
 
 
-def forward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
+def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
+                   last_ref, tail_ref,
                    packed_ref, img_ref, tau_ref, cont_ref,
                    img_s, tau_s, cont_s, sat_s, *, gx, tile, k):
     p = tile * tile
-    c = pl.program_id(0)
-    t = tile_ref[c]
+    s = pl.program_id(0)
+    t = tile_ref[s]
     px, py = _pixel_coords(t, gx, tile, p)
 
-    @pl.when(first_ref[c] == 1)
+    @pl.when(first_ref[s] == 1)
     def _():
         img_s[:] = jnp.zeros((3, p), jnp.float32)
         tau_s[:] = jnp.ones((1, p), jnp.float32)
         cont_s[:] = jnp.zeros((1, p), jnp.int32)
         sat_s[0] = 0
 
-    @pl.when((work_ref[c] == 1) & (sat_s[0] == 0))
+    lo = lo_ref[s]
+    hi = hi_ref[s]
+
+    @pl.when((hi > lo) & (sat_s[0] == 0))
     def _():
         tau = tau_s[:]  # [1,P]
-        data = packed_ref[:]  # [K,16] chunk block (auto-pipelined)
+        data = packed_ref[:]  # [K,16] chunk block (resident across segments)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
+        in_seg = (sub >= lo) & (sub < hi)
         ap, _ = _chunk_alpha(data, px, py)
-        m1 = ap >= ALPHA_SKIP
+        m1 = in_seg & (ap >= ALPHA_SKIP)
         one_m = jnp.where(m1, 1.0 - ap, 1.0)
         tau_ex = tau * prefix_prod_exclusive(one_m)  # [K,P]
         contribute = m1 & (tau_ex >= TAU_STOP)
@@ -114,51 +125,61 @@ def forward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref,
         new_tau = tau * prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[0:1, :]
         tau_s[:] = new_tau
         sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
-        idx1 = pos_ref[c] * k + sub + 1  # 1-based position in the tile list
+        idx1 = pos_ref[s] + (sub - lo) + 1  # 1-based position in the tile list
         cont_s[:] = jnp.maximum(
             cont_s[:], jnp.max(jnp.where(contribute, idx1, 0), axis=0, keepdims=True)
         )
 
-    # Write the tile's outputs once, at its last chunk.
-    @pl.when(last_ref[c] == 1)
+    # Write the tile's outputs once, at its last segment.
+    @pl.when(last_ref[s] == 1)
     def _():
         img_ref[0] = img_s[:]
         tau_ref[0] = tau_s[:]
         cont_ref[0] = cont_s[:]
 
 
-def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref, maxcont_ref,
+def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
+                    last_ref, tail_ref, maxcont_ref,
                     packed_ref, g_ref, tau_ref, cont_ref, grads_ref,
                     tau_s, gag_s, *, gx, tile, k, q_total):
     p = tile * tile
     i = pl.program_id(0)
-    rc = q_total - 1 - i  # chunks are visited back-to-front
-    t = tile_ref[rc]
+    rs = q_total - 1 - i  # segments are visited back-to-front
+    t = tile_ref[rs]
     px, py = _pixel_coords(t, gx, tile, p)
 
-    # First visit of this tile (its last chunk): load the final transmittance
-    # and clear the accumulated-color-gradient carry (drawB kernel.cu:899-916).
-    @pl.when(last_ref[rc] == 1)
+    # First visit of this tile (its last segment): load the final
+    # transmittance, clear the color-gradient carry (drawB kernel.cu:899-916).
+    @pl.when(last_ref[rs] == 1)
     def _():
         tau_s[:] = tau_ref[0]
         gag_s[:] = jnp.zeros((1, p), jnp.float32)
 
-    pos = pos_ref[rc]
-    grads_ref[:] = jnp.zeros((k, GRAD_ROWS), jnp.float32)
+    # First reverse visit of this chunk: zero its gradient block (revisited
+    # across this chunk's segments; masked writes accumulate into it).
+    @pl.when(tail_ref[rs] == 1)
+    def _():
+        grads_ref[:] = jnp.zeros((k, GRAD_ROWS), jnp.float32)
 
-    # A chunk contributes only if some pixel's contributor count reaches it.
-    # The per-tile max count is precomputed outside (maxcont prefetch) so the
-    # test stays scalar — no per-step vector->scalar pipeline stall.
-    @pl.when((work_ref[rc] == 1) & (maxcont_ref[t] > pos * k))
+    lo = lo_ref[rs]
+    hi = hi_ref[rs]
+    pos = pos_ref[rs]
+
+    # A segment contributes only if some pixel's contributor count reaches
+    # it. The per-tile max count is precomputed outside (maxcont prefetch)
+    # so the test stays scalar — no per-step vector->scalar pipeline stall.
+    @pl.when((hi > lo) & (maxcont_ref[t] > pos))
     def _():
         cont = cont_ref[0]  # [1,P] int32
         data = packed_ref[:]
         g = g_ref[0]  # [3,P] dL/dpixel for this tile
         ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
         sub = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
-        idx0 = pos * k + sub
-        m = (idx0 < cont) & (ap >= ALPHA_SKIP)
+        subc = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        in_seg = (sub >= lo) & (sub < hi)
+        rowmask = (subc >= lo) & (subc < hi)  # [K,1]
+        idx0 = pos + (sub - lo)
+        m = in_seg & (idx0 < cont) & (ap >= ALPHA_SKIP)
 
         one_m = jnp.where(m, 1.0 - ap, 1.0)
         sfx = suffix_prod_inclusive(one_m)  # [K,P]
@@ -206,10 +227,11 @@ def backward_kernel(tile_ref, pos_ref, first_ref, last_ref, work_ref, maxcont_re
             preferred_element_type=jnp.float32,
         )  # [K,3]
 
-        grads_ref[:, 0:1] = dux
-        grads_ref[:, 1:2] = duy
-        grads_ref[:, 2:3] = dca
-        grads_ref[:, 3:4] = dcb
-        grads_ref[:, 4:5] = dcc
-        grads_ref[:, 5:6] = dalpha
-        grads_ref[:, 6:9] = dcolor
+        # masked read-modify-write: other segments own the other sublanes
+        grads_ref[:, 0:1] = jnp.where(rowmask, dux, grads_ref[:, 0:1])
+        grads_ref[:, 1:2] = jnp.where(rowmask, duy, grads_ref[:, 1:2])
+        grads_ref[:, 2:3] = jnp.where(rowmask, dca, grads_ref[:, 2:3])
+        grads_ref[:, 3:4] = jnp.where(rowmask, dcb, grads_ref[:, 3:4])
+        grads_ref[:, 4:5] = jnp.where(rowmask, dcc, grads_ref[:, 4:5])
+        grads_ref[:, 5:6] = jnp.where(rowmask, dalpha, grads_ref[:, 5:6])
+        grads_ref[:, 6:9] = jnp.where(rowmask, dcolor, grads_ref[:, 6:9])

@@ -1,16 +1,17 @@
 """Differentiable Pallas rasterisation: packing, custom_vjp, and pallas_call
-plumbing for the streaming chunk-grid kernels (kernels.py).
+plumbing for the segmented chunk-grid kernels (kernels.py).
 
 The autodiff boundary sits around the packed per-patch attribute array: the
-row gather/scatter that builds it is differentiable JAX *outside* the
-custom_vjp, so its transpose — a deterministic segment scatter-add of
-per-patch gradients onto Gaussians — is synthesised by XLA and plays the
-role of the reference's atomicAdd accumulation plus the Python matmul chain
-entry point (/root/reference/gsplat/gsmodel.py:52-93). Inside the
-custom_vjp, forward and backward are single pallas_calls whose grid streams
-the chunk-aligned patch array; per-chunk metadata rides in scalar-prefetch
-arrays so the BlockSpec index maps can route each chunk to its owning image
-tile.
+row gather that builds it (one [N,16] table, jnp.take by patch gsid) is
+differentiable JAX *outside* the custom_vjp, so its transpose — a
+deterministic segment scatter-add of per-patch gradients onto Gaussians —
+is synthesised by XLA and plays the role of the reference's atomicAdd
+accumulation plus the Python matmul chain entry point
+(/root/reference/gsplat/gsmodel.py:52-93). Inside the custom_vjp, forward
+and backward are single pallas_calls whose grid streams (chunk x tile)
+segments of the unpadded patch array; per-segment metadata rides in
+scalar-prefetch arrays so the BlockSpec index maps can route each segment
+to its input chunk and owning image tile.
 """
 
 import functools
@@ -21,12 +22,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from easygaussiansplatting_tpu.ops.binning import chunk_layout
+from easygaussiansplatting_tpu.ops.binning import segment_layout
 from easygaussiansplatting_tpu.ops.pallas.kernels import (
     GRAD_ROWS,
     PACK_ROWS,
     backward_kernel,
     forward_kernel,
+)
+
+_META_KEYS = (
+    "seg_chunk", "seg_tile", "seg_lo", "seg_hi", "seg_pos",
+    "seg_first", "seg_last", "chunk_tail",
 )
 
 
@@ -37,15 +43,16 @@ def _use_interpret():
 @partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
 def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret):
     p = tile * tile
-    q_total = packed.shape[0] // k
+    q_total = meta["seg_chunk"].shape[0]
     kern = functools.partial(forward_kernel, gx=gx, tile=tile, k=k)
     # index maps receive (grid idx, *scalar-prefetch refs)
-    out_map = lambda c, t_ref, *_: (t_ref[c], 0, 0)
+    in_map = lambda s, chunk_ref, *_: (chunk_ref[s], 0)
+    out_map = lambda s, chunk_ref, tile_ref, *_: (tile_ref[s], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # chunk_tile, chunk_pos, first, last, work
+        num_scalar_prefetch=len(_META_KEYS),
         grid=(q_total,),
         in_specs=[
-            pl.BlockSpec((k, PACK_ROWS), lambda c, *_: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, PACK_ROWS), in_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 3, p), out_map, memory_space=pltpu.VMEM),
@@ -68,34 +75,31 @@ def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret):
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        meta["chunk_tile"], meta["chunk_pos"], meta["chunk_first"],
-        meta["chunk_last"], meta["chunk_work"], packed,
-    )
+    )(*(meta[kk] for kk in _META_KEYS), packed)
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
 def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
               *, n_tiles, gx, tile, k, interpret):
     p = tile * tile
-    capacity = packed.shape[0]
-    q_total = capacity // k
+    m_total = packed.shape[0]
+    q_total = meta["seg_chunk"].shape[0]
     kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k, q_total=q_total)
-    rev_map = lambda i, *_: (q_total - 1 - i, 0)
-    tile_map = lambda i, t_ref, *_: (t_ref[q_total - 1 - i], 0, 0)
+    rev_in = lambda i, chunk_ref, *_: (chunk_ref[q_total - 1 - i], 0)
+    rev_tile = lambda i, chunk_ref, tile_ref, *_: (tile_ref[q_total - 1 - i], 0, 0)
     # per-tile max contributor count: lets the kernel's skip test stay scalar
     maxcont = jnp.max(cont_tiles[:, 0, :], axis=1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=len(_META_KEYS) + 1,
         grid=(q_total,),
         in_specs=[
-            pl.BlockSpec((k, PACK_ROWS), rev_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, p), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, PACK_ROWS), rev_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, p), rev_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), rev_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), rev_tile, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((k, GRAD_ROWS), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, GRAD_ROWS), rev_in, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, p), jnp.float32),  # transmittance carry
@@ -105,11 +109,10 @@ def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((capacity, GRAD_ROWS), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((m_total, GRAD_ROWS), jnp.float32)],
         interpret=interpret,
     )(
-        meta["chunk_tile"], meta["chunk_pos"], meta["chunk_first"],
-        meta["chunk_last"], meta["chunk_work"], maxcont,
+        *(meta[kk] for kk in _META_KEYS), maxcont,
         packed, g_tiles, tau_tiles, cont_tiles,
     )[0]
 
@@ -147,8 +150,9 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
                      tile=16, k_chunk=256, interpret=None):
     """Pallas-backed stage 6.
 
-    `binning` is the dict from ops.binning.bin_gaussians. Returns
-    (image [3,H,W], aux with contrib [H,W] int32 and final_tau [H,W]).
+    `binning` is the dict from ops.binning.bin_gaussians; its max_patches
+    must be a multiple of k_chunk (after rounding k_chunk up to 128).
+    Returns (image [3,H,W], aux with contrib [H,W] int32, final_tau [H,W]).
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -159,38 +163,36 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     n_tiles = gx * gy
     p = tile * tile
 
-    m = binning["patch_gsid"].shape[0]
-    capacity = m + n_tiles * k_chunk
-    meta = chunk_layout(binning, k_chunk=k_chunk, capacity=capacity)
     gsid = binning["patch_gsid"]
+    m = gsid.shape[0]
+    if m % k_chunk:
+        raise ValueError(f"max_patches {m} must be a multiple of k_chunk {k_chunk}")
+    meta = segment_layout(binning, k_chunk=k_chunk, n_tiles=n_tiles)
     gsafe = jnp.maximum(gsid, 0)
     live = gsid >= 0
 
-    # Differentiable packing: one [N,16] attribute table, row-gathered per
-    # patch and row-scattered into the chunk-aligned layout. Whole 64-byte
-    # rows keep the random accesses transaction-efficient — per-column
-    # element gathers run ~10x slower on TPU. The transposes XLA synthesises
-    # for the VJP (gather at newpos -> segment scatter-add onto gaussians)
-    # are the deterministic replacement for the reference's atomicAdd
-    # accumulation (gsplatcu/kernel.cu:924-945). Unwritten (padding) slots
-    # stay zero -> alpha' = 0 -> no contribution and no gradient.
+    # Differentiable packing: one [N,16] attribute table row-gathered into
+    # patch order (64-byte rows keep the random access transaction-
+    # efficient). The transpose XLA synthesises for the VJP — a segment
+    # scatter-add of per-patch gradients onto gaussians — is the
+    # deterministic replacement for the reference's atomicAdd accumulation
+    # (gsplatcu/kernel.cu:924-945). Dropped/padding patches (gsid -1) get
+    # zero rows -> alpha' = 0 -> no contribution and no gradient.
     table = jnp.concatenate(
         [us, cinv2ds, alphas[:, None], colors,
          jnp.zeros((us.shape[0], PACK_ROWS - 9), jnp.float32)],
         axis=1,
     )  # columns: ux uy ca cb cc alpha r g b pad
-    rows = jnp.take(table, gsafe, axis=0)
-    rows = jnp.where(live[:, None], rows, 0.0)
-    # .add, not .set: destinations are unique and the base is zero, so the
-    # results are identical — but XLA lowers scatter-add ~5x faster on TPU.
-    packed = (
-        jnp.zeros((capacity, PACK_ROWS), jnp.float32)
-        .at[meta["patch_newpos"]]
-        .add(rows, mode="drop")
-    )
+    packed = jnp.where(live[:, None], jnp.take(table, gsafe, axis=0), 0.0)
 
     dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
     image_t, tau_t, cont_t = _raster_packed(dims, packed, meta)
+
+    # Tiles with no patches are never visited by any segment; fill them.
+    nonempty = (binning["tile_cnt"] > 0)[:, None, None]
+    image_t = jnp.where(nonempty, image_t, 0.0)
+    tau_t = jnp.where(nonempty, tau_t, 1.0)
+    cont_t = jnp.where(nonempty, cont_t, 0)
 
     # [T,3,P] -> [3,H,W]
     img = image_t.reshape(gy, gx, 3, tile, tile)
@@ -204,6 +206,6 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     aux = {
         "contrib": cont,
         "final_tau": tau,
-        "n_aligned_total": meta["total"],
+        "n_patches": binning["total"],
     }
     return img, aux

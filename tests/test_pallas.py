@@ -111,3 +111,44 @@ def test_pallas_empty_scene():
 
     g = jax.grad(lambda p: render(p, shs, alphas, scales, rots, cam, **PALLAS)[0].sum())(pws)
     assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_pallas_saturation_and_multichunk(rng):
+    """Stress the segmented grid: an opaque stack saturating tau (early
+    termination) plus enough overlap that tiles own multiple chunks and
+    chunks span several tiles."""
+    cam = Camera.from_dict(example_camera())
+    n = 400
+    pws = np.concatenate([
+        rng.normal(size=(n // 2, 3)) * 0.02 + np.array([0.0, 0.0, 0.0]),   # stack
+        rng.normal(size=(n // 2, 3)) * np.array([1.5, 1.0, 1.5]),          # spread
+    ])
+    rots = rng.normal(size=(n, 4))
+    rots /= np.linalg.norm(rots, axis=1, keepdims=True)
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.3 - 1.8)
+    alphas = np.full(n, 0.95)
+    shs = rng.normal(size=(n, 3)) * 0.5
+    args = [jnp.asarray(a, jnp.float32) for a in (pws, shs, alphas, scales, rots)]
+
+    kw = dict(max_patches=8192)
+    img_t, aux_t = render(*args, cam, backend="tiled", k_chunk=128, n_chunks=32, **kw)
+    img_p, aux_p = render(*args, cam, backend="pallas", k_chunk=128, **kw)
+    assert float(aux_p["final_tau"].min()) < 1e-4  # saturation actually hit
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(aux_p["contrib"]), np.asarray(aux_t["contrib"]))
+
+    w = jnp.asarray(rng.normal(size=(3, 16, 32)), jnp.float32)
+
+    def loss(backend, extra):
+        def f(*a):
+            im, _ = render(*a, cam, backend=backend, k_chunk=128, **extra, **kw)
+            return jnp.sum(im * w)
+        return f
+
+    gt = jax.grad(loss("tiled", dict(n_chunks=32)), argnums=(0, 2))(*args)
+    gp = jax.grad(loss("pallas", {}), argnums=(0, 2))(*args)
+    for a, b, name in zip(gt, gp, ["pws", "alphas"]):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-3 * scale, err_msg=f"grad {name}"
+        )
