@@ -78,6 +78,26 @@ def save_gif(path, frames, fps=20):
     )
 
 
+def camera_markers(cameras, size_frac=0.01, color=(1.0, 0.3, 0.1)):
+    """Small bright Gaussians at camera centres — the headless counterpart of
+    the reference viewer's dataset-camera frusta overlay
+    (/root/reference/gaussian_viewer.py:24-60, GLCameraFrameItem). Returns a
+    dict of arrays to concatenate onto a scene's gaussians."""
+    centers = np.stack([np.asarray(c.twc, np.float64) for c in cameras])
+    n = len(centers)
+    spread = float(np.max(np.linalg.norm(centers - centers.mean(0), axis=1))) or 1.0
+    sh_c0 = 0.28209479177387814
+    rots = np.zeros((n, 4), np.float32)
+    rots[:, 0] = 1.0
+    return {
+        "pws": centers.astype(np.float32),
+        "rots": rots,
+        "scales": np.full((n, 3), size_frac * spread, np.float32),
+        "alphas": np.full(n, 0.95, np.float32),
+        "shs": np.tile(((np.asarray(color, np.float32) - 0.5) / sh_c0), (n, 1)),
+    }
+
+
 def save_frames(prefix, frames):
     from PIL import Image
 

@@ -15,6 +15,11 @@ import argparse
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--gs", help="gaussians (.ply/.npy); default: example fixture")
+    ap.add_argument("--path", help="COLMAP dataset dir: overlay its camera "
+                                   "positions as markers (reference shows "
+                                   "textured frusta in its GL viewer)")
+    ap.add_argument("--skip", type=int, default=5,
+                    help="show every skip-th dataset camera (reference --skip)")
     ap.add_argument("--frames", type=int, default=36)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
@@ -44,6 +49,20 @@ def main():
         g = example_gaussians()
         a = {"pws": g["pws"], "rots": g["rots"], "scales": g["scales"],
              "alphas": g["alphas"], "shs": g["shs"]}
+
+    if args.path:
+        from easygaussiansplatting_tpu.data.dataset import load_colmap_dataset
+        from easygaussiansplatting_tpu.viewer.headless import camera_markers
+
+        ds = load_colmap_dataset(args.path, load_images=False)
+        markers = camera_markers(ds.cameras[:: max(1, args.skip)])
+        sw = np.asarray(a["shs"], np.float32).reshape(len(a["pws"]), -1).shape[1]
+        msh = np.zeros((len(markers["pws"]), sw), np.float32)
+        msh[:, :3] = markers["shs"]
+        markers["shs"] = msh
+        a = {k: np.concatenate(
+            [np.asarray(a[k], np.float32).reshape(len(a["pws"]), -1).squeeze(),
+             markers[k].squeeze()]) for k in a}
 
     cameras = None
     if args.radius is not None:

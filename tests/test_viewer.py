@@ -47,3 +47,16 @@ def test_rainbow_sh_endpoints():
     # colormap's behaviour exactly (utils.py:84-118)
     np.testing.assert_allclose(rgb[2], [1, 0, 1], atol=1e-6)
     np.testing.assert_allclose(rgb[1], [0, 1, 0.5], atol=0.02)  # mid -> green
+
+
+def test_camera_markers(rng):
+    from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene
+    from easygaussiansplatting_tpu.viewer.headless import camera_markers
+
+    scene = make_synthetic_scene(seed=1, n_cams=6, n_gaussians=8)
+    mk = camera_markers(scene["cameras"][::2])
+    assert mk["pws"].shape == (3, 3) and mk["shs"].shape == (3, 3)
+    np.testing.assert_allclose(
+        mk["pws"][0], np.asarray(scene["cameras"][0].twc), atol=1e-5
+    )
+    assert (mk["scales"] > 0).all()
