@@ -59,13 +59,14 @@ def main():
     # ~1.4x headroom over the scene's 549k patches — what the trainer's
     # adaptive budget (train.loop.PatchBudget) would converge to
     max_patches = 786432 if on_tpu else 2**14
+    max_rows = 262144 if on_tpu else None  # rows ~ patches / mean splat width
 
     @jax.jit
     def step(params, gt):
         def loss_fn(params):
             image, _ = render(
                 *params, cam, backend=backend, tile=16,
-                max_patches=max_patches, k_chunk=256,
+                max_patches=max_patches, max_rows=max_rows, k_chunk=256,
             )
             return gau_loss(image, gt)
 

@@ -79,8 +79,9 @@ def _propagate(starts, values, budget):
     return _scan1(_propagate_marks(starts, values, budget))
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile", "max_patches"))
-def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_patches):
+@partial(jax.jit, static_argnames=("width", "height", "tile", "max_patches", "max_rows"))
+def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_patches,
+                  max_rows=None):
     """Build the per-tile draw lists.
 
     Patch expansion is two-level (gaussian -> covered tile-rows -> covered
@@ -94,9 +95,18 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
       tile_start  [T] int32, tile_cnt [T] int32 — per-tile ranges.
       total       int32 — true number of patches (before capping).
       n_dropped   int32 — patches beyond capacity (0 in healthy runs).
+      total_rows  int32 — covered tile-rows (drives the max_rows budget).
+
+    `max_rows` bounds the intermediate tile-row expansion (rows <= patches
+    always, and typically ~patches / mean-splat-width): the level-2 scatter
+    cost scales with it, so a tight row budget saves real time. None = safe
+    bound max_patches. Rows past the budget drop like patches past
+    max_patches (deepest first).
     """
     from easygaussiansplatting_tpu.ops.pallas.scan import batched_cumsum
 
+    if max_rows is None:
+        max_rows = max_patches
     n = us.shape[0]
     gx, gy = num_tiles(width, height, tile)
     n_tiles = gx * gy
@@ -125,12 +135,12 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     rcum = jnp.cumsum(row_counts)
     rstart = rcum - row_counts
     total_rows = rcum[-1]
-    mr = jnp.arange(max_patches, dtype=jnp.int32)
-    rows_ok = mr < jnp.minimum(total_rows, max_patches)
+    mr = jnp.arange(max_rows, dtype=jnp.int32)
+    rows_ok = mr < jnp.minimum(total_rows, max_rows)
     c1, row_w_raw, row_ord = batched_cumsum([
-        _propagate_marks(rstart, (y0 - rstart) * gx + x0, max_patches),
-        _propagate_marks(rstart, w, max_patches),
-        _propagate_marks(rstart, order, max_patches),
+        _propagate_marks(rstart, (y0 - rstart) * gx + x0, max_rows),
+        _propagate_marks(rstart, w, max_rows),
+        _propagate_marks(rstart, order, max_rows),
     ])
     row_w = jnp.where(rows_ok, row_w_raw, 0)
 
@@ -138,11 +148,12 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     # is tile (row_ty * gx + x0) + (m - start2[j]), so
     # base = c1 + j * gx - start2 is again segment-constant.
     wcum = _scan1(row_w)
-    total = wcum[-1]
+    total = jnp.sum(jnp.where(valid_s, w * (y1 - y0), 0))  # true pre-cap count
+    kept = jnp.minimum(wcum[-1], max_patches)               # after both budgets
     start2 = wcum - row_w
     base = c1 + mr * gx - start2
-    m = mr
-    in_range = m < jnp.minimum(total, max_patches)
+    m = jnp.arange(max_patches, dtype=jnp.int32)
+    in_range = m < kept
     prop_base, prop_ord = batched_cumsum([
         _propagate_marks(start2, base, max_patches),
         _propagate_marks(start2, row_ord, max_patches),
@@ -178,7 +189,8 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         "tile_start": tile_start,
         "tile_cnt": tile_cnt,
         "total": total,
-        "n_dropped": jnp.maximum(total - max_patches, 0),
+        "n_dropped": total - kept,
+        "total_rows": total_rows,
     }
 
 

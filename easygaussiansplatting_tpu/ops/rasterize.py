@@ -23,7 +23,7 @@ from easygaussiansplatting_tpu.ops import stages
 def render(
     pws, shs, alphas, scales, rots, cam,
     alive=None, us_offset=None, sh_degree=3, backend="tiled",
-    tile=16, max_patches=2**18, k_chunk=64, n_chunks=16,
+    tile=16, max_patches=2**18, max_rows=None, k_chunk=64, n_chunks=16,
 ):
     """Returns (image [3,H,W], aux dict)."""
     aux = stages.preprocess(pws, shs, alphas, scales, rots, cam, alive=alive, sh_degree=sh_degree)
@@ -49,6 +49,7 @@ def render(
         jax.lax.stop_gradient(aux["areas"]),
         aux["valid"],
         width=cam.width, height=cam.height, tile=tile, max_patches=max_patches,
+        max_rows=max_rows,
     )
 
     if backend == "tiled":

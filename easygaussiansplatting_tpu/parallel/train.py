@@ -96,7 +96,8 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
                     pws, shs, alphas, scales, rots, cam,
                     alive=alive, us_offset=us_offset,
                     backend=config.backend, tile=config.tile,
-                    max_patches=config.max_patches, k_chunk=config.k_chunk,
+                    max_patches=config.max_patches, max_rows=config.max_rows,
+                    k_chunk=config.k_chunk,
                     n_chunks=config.n_chunks, sh_degree=config.sh_degree,
                 )
                 return gau_loss(image, gt, config.loss_lambda), aux["depths"]

@@ -46,6 +46,7 @@ class TrainConfig:
     backend: str = "tiled"
     tile: int = 16
     max_patches: int = 2**18
+    max_rows: int = None  # None = max_patches (safe); rows ~= patches / mean width
     k_chunk: int = 64
     n_chunks: int = 16
     sh_degree: int = 3

@@ -34,7 +34,8 @@ def render_pool_image(pool, cam, config, us_offset=None):
         pws, shs, alphas, scales, rots, cam,
         alive=alive, us_offset=us_offset,
         backend=config.backend, tile=config.tile, max_patches=config.max_patches,
-        k_chunk=config.k_chunk, n_chunks=config.n_chunks, sh_degree=config.sh_degree,
+        max_rows=config.max_rows, k_chunk=config.k_chunk, n_chunks=config.n_chunks,
+        sh_degree=config.sh_degree,
     )
 
 
