@@ -73,3 +73,36 @@ def test_dense_tile_lists_roundtrip(rng):
     for t in range(dense.shape[0]):
         np.testing.assert_array_equal(dense[t, : cnt[t]], gsid[start[t] : start[t] + cnt[t]])
         assert np.all(dense[t, cnt[t] :] == -1)
+
+
+def test_row_budget_drops_deepest(rng):
+    width, height = 64, 48
+    us, depths, areas, valid = _scene(rng)
+    full = binning.bin_gaussians(
+        jnp.asarray(us, jnp.float32), jnp.asarray(depths, jnp.float32),
+        jnp.asarray(areas, jnp.float32), jnp.asarray(valid),
+        width=width, height=height, max_patches=4096,
+    )
+    rows = int(full["total_rows"])
+    assert rows > 8
+    capped = binning.bin_gaussians(
+        jnp.asarray(us, jnp.float32), jnp.asarray(depths, jnp.float32),
+        jnp.asarray(areas, jnp.float32), jnp.asarray(valid),
+        width=width, height=height, max_patches=4096, max_rows=rows // 2,
+    )
+    assert int(capped["n_dropped"]) > 0
+    kept = np.asarray(capped["patch_gsid"])
+    kept = kept[kept >= 0]
+    # kept patches are a depth-prefix: all from the shallowest gaussians
+    kept_max = depths[np.unique(kept)].max()
+    dropped_ids = np.setdiff1d(np.unique(np.asarray(full["patch_gsid"])), np.unique(kept))
+    dropped_ids = dropped_ids[dropped_ids >= 0]
+    if len(dropped_ids):
+        assert kept_max <= depths[dropped_ids].max() + 1e-9
+    # with max_rows == full rows, identical output
+    same = binning.bin_gaussians(
+        jnp.asarray(us, jnp.float32), jnp.asarray(depths, jnp.float32),
+        jnp.asarray(areas, jnp.float32), jnp.asarray(valid),
+        width=width, height=height, max_patches=4096, max_rows=((rows + 127)//128)*128,
+    )
+    np.testing.assert_array_equal(np.asarray(same["patch_gsid"]), np.asarray(full["patch_gsid"]))
