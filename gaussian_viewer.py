@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--elevation", type=float, default=0.35)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "tiled"])
+    ap.add_argument("--mode", default="normal", choices=["normal", "ball", "inverse"],
+                    help="render mode (reference GaussianItem combo, "
+                         "gaussian_item.py:71-87): ball = hard opaque discs, "
+                         "inverse = negated colors")
     ap.add_argument("--out", default="orbit.gif")
     ap.add_argument("--save-frames", help="also write PNG frames with this prefix")
     args = ap.parse_args()
@@ -63,6 +67,13 @@ def main():
         a = {k: np.concatenate(
             [np.asarray(a[k], np.float32).reshape(len(a["pws"]), -1).squeeze(),
              markers[k].squeeze()]) for k in a}
+
+    if args.mode == "ball":
+        a["alphas"] = np.full_like(np.asarray(a["alphas"], np.float32), 0.99)
+        a["scales"] = np.asarray(a["scales"], np.float32) * 0.6
+    elif args.mode == "inverse":
+        # color = sum c.Y + 0.5, so negating the coefficients gives 1 - color
+        a["shs"] = -np.asarray(a["shs"], np.float32)
 
     cameras = None
     if args.radius is not None:

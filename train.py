@@ -31,14 +31,31 @@ def main():
                     help="data-axis size of the device mesh (default: auto)")
     ap.add_argument("--capacity", type=int, default=None, help="gaussian pool capacity")
     ap.add_argument("--max-patches", type=int, default=2**20)
+    ap.add_argument("--no-adaptive-budget", action="store_true",
+                    help="keep max_patches fixed (each budget change "
+                         "recompiles the step; slow on tunneled backends)")
     ap.add_argument("--out", default="output")
     ap.add_argument("--save-every", type=int, default=10)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", help="checkpoint .npz to resume from")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="fail fast on NaNs (the reference's "
+                         "torch detect_anomaly, train.py:11)")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of the first epoch")
     args = ap.parse_args()
 
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.profile:
+        try:
+            jax.profiler.start_trace(args.profile)
+        except Exception as e:  # tunneled backends may not support tracing
+            print(f"profiler unavailable: {e}")
+            args.profile = None
 
     from easygaussiansplatting_tpu.data.gau_io import load_gs, recarray_to_arrays, save_pool
     from easygaussiansplatting_tpu.models.gaussians import pool_from_arrays
@@ -76,6 +93,7 @@ def main():
     config = TrainConfig(
         epochs=args.epochs, backend=args.backend, max_patches=args.max_patches,
         save_every_epochs=args.save_every,
+        adaptive_budget=not args.no_adaptive_budget,
     )
     resume = {}
     if args.resume:
@@ -101,6 +119,10 @@ def main():
         print(f"{time.strftime('%H:%M:%S')} {msg}", flush=True)
 
     def save_cb(epoch, pool, adam_state=None, stats=None, key=None):
+        if args.profile and epoch == 1:
+            jax.profiler.stop_trace()
+            log_fn(f"wrote profiler trace to {args.profile}")
+            args.profile = None
         if epoch % config.save_every_epochs == 0 or epoch == config.epochs:
             save_pool(out / f"epoch{epoch:04d}.npy", pool)
             if adam_state is not None:
