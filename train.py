@@ -44,6 +44,8 @@ def main():
                          "torch detect_anomaly, train.py:11)")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the first epoch")
+    ap.add_argument("--preview", action="store_true",
+                    help="save a render of camera 0 at each save interval")
     args = ap.parse_args()
 
     import jax
@@ -128,6 +130,16 @@ def main():
             if adam_state is not None:
                 save_checkpoint(out / "checkpoint.npz", pool, adam_state, stats,
                                 epoch=epoch, key=key)
+            if args.preview:
+                # headless counterpart of the reference's live matplotlib
+                # preview (train.py:62-66)
+                from PIL import Image
+
+                from easygaussiansplatting_tpu.train.loop import render_pool_image
+
+                img, _ = render_pool_image(pool, cameras[0], config)
+                arr = (np.clip(np.transpose(np.asarray(img), (1, 2, 0)), 0, 1) * 255)
+                Image.fromarray(arr.astype(np.uint8)).save(out / f"preview{epoch:04d}.png")
 
     if args.batch > 1:
         from easygaussiansplatting_tpu.parallel import make_mesh
