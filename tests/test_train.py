@@ -168,3 +168,26 @@ def test_end_to_end_training_improves_psnr():
     img1, _ = render_pool_image(pool, scene["cameras"][0], cfg)
     psnr1 = float(psnr(jnp.clip(img1, 0, 1), jnp.clip(gt_images[0], 0, 1)))
     assert psnr1 > psnr0 + 0.5, f"psnr {psnr0} -> {psnr1}"
+
+
+def test_patch_budget_logic():
+    import dataclasses
+
+    from easygaussiansplatting_tpu.train.config import TrainConfig
+    from easygaussiansplatting_tpu.train.loop import PatchBudget, _round_budget
+
+    cfg = TrainConfig(max_patches=2**18, adaptive_budget=True, budget_headroom=1.5)
+    b = PatchBudget(cfg)
+    assert b.value == 2**18
+    # well under budget but above the shrink threshold: no change
+    assert not b.update(200_000)
+    # nearly full -> grow to ~1.5x observed, rounded to the scan quantum
+    assert b.update(250_000)
+    assert b.value == _round_budget(375_000) and b.value % 16384 == 0
+    # collapse far below -> shrink
+    assert b.update(20_000)
+    assert b.value == _round_budget(30_000)
+    # adaptive off -> never changes
+    cfg2 = dataclasses.replace(cfg, adaptive_budget=False)
+    b2 = PatchBudget(cfg2)
+    assert not b2.update(10**7)
