@@ -25,7 +25,8 @@ def timeit(label, fn, *args, iters=5):
     return out
 
 
-def main(width=979, height=546, n_gaussians=65536, max_patches=2**20, k_chunk=256):
+def main(width=979, height=546, n_gaussians=65536, max_patches=786432,
+         max_rows=262144, k_chunk=256):
     scene = make_synthetic_scene(seed=0, n_gaussians=n_gaussians, n_cams=1, width=width,
                                  height=height, log_scale_mean=-3.6)
     cam = scene["cameras"][0]
@@ -45,24 +46,25 @@ def main(width=979, height=546, n_gaussians=65536, max_patches=2**20, k_chunk=25
         lambda a: bin_gaussians(
             a["us"], a["depths"], a["areas"], a["valid"],
             width=width, height=height, tile=16, max_patches=max_patches,
+            max_rows=max_rows,
         )
     )
     binning = timeit("binning (sort)", binf, aux)
     print(f"{'  total patches':32s} {int(binning['total']):9d}  dropped {int(binning['n_dropped'])}")
 
     fwd = jax.jit(
-        lambda p: render(*p, cam, backend="pallas", max_patches=max_patches, k_chunk=k_chunk)[0]
+        lambda p: render(*p, cam, backend="pallas", max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk)[0]
     )
     timeit("render fwd (pallas)", fwd, params)
 
     def loss_fn(p):
-        img, _ = render(*p, cam, backend="pallas", max_patches=max_patches, k_chunk=k_chunk)
+        img, _ = render(*p, cam, backend="pallas", max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk)
         return gau_loss(img, gt)
 
     vg = jax.jit(jax.value_and_grad(loss_fn))
     timeit("fwd+bwd full", vg, params)
 
-    l1 = jax.jit(jax.value_and_grad(lambda p: jnp.abs(render(*p, cam, backend='pallas', max_patches=max_patches, k_chunk=k_chunk)[0] - gt).mean()))
+    l1 = jax.jit(jax.value_and_grad(lambda p: jnp.abs(render(*p, cam, backend='pallas', max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk)[0] - gt).mean()))
     timeit("fwd+bwd (L1 only)", l1, params)
 
 
