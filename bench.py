@@ -66,7 +66,7 @@ def main():
         def loss_fn(params):
             image, _ = render(
                 *params, cam, backend=backend, tile=16,
-                max_patches=max_patches, max_rows=max_rows, k_chunk=256,
+                max_patches=max_patches, max_rows=max_rows, k_chunk=128,
             )
             return gau_loss(image, gt)
 

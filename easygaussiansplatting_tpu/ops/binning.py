@@ -114,10 +114,13 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     # Depth-sort the gaussians (invalid ones to the back). sort_key_val runs
     # ~10x faster than a stable argsort; depth ties order arbitrarily but
     # deterministically (the reference quantises depth keys to millimetres,
-    # kernel.cu:46-80, so its tie order is no stronger).
-    _, order = jax.lax.sort_key_val(
-        jnp.where(valid, depths, jnp.inf), jnp.arange(n, dtype=jnp.int32)
+    # kernel.cu:46-80, so its tie order is no stronger). Depths are positive
+    # (culled entries -> +inf), so their IEEE bit patterns sort identically
+    # as int32 — and the integer radix sort is ~20% faster still.
+    keys = jax.lax.bitcast_convert_type(
+        jnp.where(valid, depths, jnp.inf), jnp.int32
     )
+    _, order = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
     rects, valid = gaussian_rects(us, areas, valid, width, height, tile)
     rects_s = rects[order]
     valid_s = valid[order]
