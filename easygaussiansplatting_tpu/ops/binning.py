@@ -117,9 +117,9 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     # kernel.cu:46-80, so its tie order is no stronger). Depths are positive
     # (culled entries -> +inf), so their IEEE bit patterns sort identically
     # as int32 — and the integer radix sort is ~20% faster still.
-    keys = jax.lax.bitcast_convert_type(
-        jnp.where(valid, depths, jnp.inf), jnp.int32
-    )
+    fkeys = jnp.where(valid, depths, jnp.inf)
+    int_t = jnp.int64 if fkeys.dtype == jnp.float64 else jnp.int32
+    keys = jax.lax.bitcast_convert_type(fkeys, int_t)
     _, order = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
     rects, valid = gaussian_rects(us, areas, valid, width, height, tile)
     rects_s = rects[order]
