@@ -151,7 +151,10 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
                 f"cloned={int(report['n_cloned'])} split={int(report['n_split'])} "
                 f"dropped={int(report['n_dropped'])} alive={int(report['n_alive'])}"
             )
-        if e % config.reset_alpha_every_epochs == 0:
+        if e % config.reset_alpha_every_epochs == 0 and e < config.epochs:
+            # never end training on a reset: the final model would carry the
+            # clamped opacities (the reference resets unconditionally,
+            # train.py:75-77, and suffers exactly this when epochs % 15 == 0)
             pool, adam_state = reset_alpha(pool, adam_state, config)
             log_fn(f"[epoch {e}] alpha reset")
 
