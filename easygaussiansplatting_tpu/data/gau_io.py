@@ -200,11 +200,12 @@ def save_gs(path, gs):
 
 
 def save_pool(path, pool):
-    """Save a GaussianPool's alive rows as the reference .npy record format
-    (the counterpart of save_training_params, gau_io.py:141-156)."""
+    """Save a GaussianPool's alive rows — .npy record format (the counterpart
+    of save_training_params, gau_io.py:141-156) or official-3DGS .ply by
+    extension."""
     pws, shs, alphas, scales, rots, alive = (np.asarray(x) for x in pool.activated())
     keep = np.asarray(alive, bool)
-    np.save(
+    save_gs(
         path,
         arrays_to_recarray(pws[keep], rots[keep], scales[keep], alphas[keep], shs[keep]),
     )

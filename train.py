@@ -160,7 +160,8 @@ def main():
         )
 
     save_pool(out / "final.npy", pool)
-    log_fn(f"saved {out}/final.npy; last loss {history['loss'][-1]:.5f}")
+    save_pool(out / "final.ply", pool)  # official-3DGS layout for external viewers
+    log_fn(f"saved {out}/final.npy + .ply; last loss {history['loss'][-1]:.5f}")
 
 
 if __name__ == "__main__":
