@@ -156,10 +156,13 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
         gag_s[:] = jnp.zeros((1, p), jnp.float32)
 
     # First reverse visit of this chunk: zero its gradient block (revisited
-    # across this chunk's segments; masked writes accumulate into it).
+    # across this chunk's segments; masked writes accumulate into it). The
+    # block is transposed [GRAD_ROWS, K] — entries on lanes — so the full
+    # [16, M] gradient array stays lane-compact in HBM (an [M, 16] layout
+    # would lane-pad 16 -> 128 and write 8x the bytes).
     @pl.when(tail_ref[rs] == 1)
     def _():
-        grads_ref[:] = jnp.zeros((k, GRAD_ROWS), jnp.float32)
+        grads_ref[:] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
 
     lo = lo_ref[rs]
     hi = hi_ref[rs]
@@ -227,11 +230,12 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             preferred_element_type=jnp.float32,
         )  # [K,3]
 
-        # masked read-modify-write: other segments own the other sublanes
-        grads_ref[:, 0:1] = jnp.where(rowmask, dux, grads_ref[:, 0:1])
-        grads_ref[:, 1:2] = jnp.where(rowmask, duy, grads_ref[:, 1:2])
-        grads_ref[:, 2:3] = jnp.where(rowmask, dca, grads_ref[:, 2:3])
-        grads_ref[:, 3:4] = jnp.where(rowmask, dcb, grads_ref[:, 3:4])
-        grads_ref[:, 4:5] = jnp.where(rowmask, dcc, grads_ref[:, 4:5])
-        grads_ref[:, 5:6] = jnp.where(rowmask, dalpha, grads_ref[:, 5:6])
-        grads_ref[:, 6:9] = jnp.where(rowmask, dcolor, grads_ref[:, 6:9])
+        # masked read-modify-write: other segments own the other lanes
+        colmask = rowmask.reshape(1, k)  # [1,K]
+        grads_ref[0:1, :] = jnp.where(colmask, dux.reshape(1, k), grads_ref[0:1, :])
+        grads_ref[1:2, :] = jnp.where(colmask, duy.reshape(1, k), grads_ref[1:2, :])
+        grads_ref[2:3, :] = jnp.where(colmask, dca.reshape(1, k), grads_ref[2:3, :])
+        grads_ref[3:4, :] = jnp.where(colmask, dcb.reshape(1, k), grads_ref[3:4, :])
+        grads_ref[4:5, :] = jnp.where(colmask, dcc.reshape(1, k), grads_ref[4:5, :])
+        grads_ref[5:6, :] = jnp.where(colmask, dalpha.reshape(1, k), grads_ref[5:6, :])
+        grads_ref[6:9, :] = jnp.where(colmask, dcolor.T, grads_ref[6:9, :])

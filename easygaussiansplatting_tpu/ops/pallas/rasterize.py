@@ -99,7 +99,11 @@ def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
             pl.BlockSpec((1, 1, p), rev_tile, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((k, GRAD_ROWS), rev_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (GRAD_ROWS, k),
+                lambda i, chunk_ref, *_: (0, chunk_ref[q_total - 1 - i]),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, p), jnp.float32),  # transmittance carry
@@ -109,7 +113,7 @@ def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((m_total, GRAD_ROWS), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m_total), jnp.float32)],
         interpret=interpret,
     )(
         *(meta[kk] for kk in _META_KEYS), maxcont,
@@ -117,33 +121,44 @@ def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
     )[0]
 
 
+def _pack(table, gsafe, live):
+    """[N,16] attribute table -> [M,16] patch rows (64-byte row gather)."""
+    return jnp.where(live[:, None], jnp.take(table, gsafe, axis=0), 0.0)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _raster_packed(dims, packed, meta):
+def _raster_table(dims, table, gsafe, live, meta):
     n_tiles, gx, tile, k, interpret = dims
-    return _fwd_call(packed, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k,
-                     interpret=interpret)
+    return _fwd_call(_pack(table, gsafe, live), meta,
+                     n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret)
 
 
-def _raster_packed_fwd(dims, packed, meta):
+def _raster_table_fwd(dims, table, gsafe, live, meta):
     n_tiles, gx, tile, k, interpret = dims
+    packed = _pack(table, gsafe, live)
     image, tau, cont = _fwd_call(
         packed, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret
     )
-    return (image, tau, cont), (packed, meta, tau, cont)
+    return (image, tau, cont), (packed, table.shape[0], gsafe, live, meta, tau, cont)
 
 
-def _raster_packed_bwd(dims, res, cotangents):
+def _raster_table_bwd(dims, res, cotangents):
     n_tiles, gx, tile, k, interpret = dims
-    packed, meta, tau, cont = res
+    packed, n, gsafe, live, meta, tau, cont = res
     g_img, _, _ = cotangents  # gradients w.r.t. tau/contrib are not propagated
-    grads = _bwd_call(
+    grads16 = _bwd_call(  # [16, M] — lane-compact (see backward_kernel)
         packed, meta, g_img, tau, cont,
         n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
     )
-    return grads, {key: None for key in meta}
+    rows_ct = jnp.where(live[None, :], grads16, 0.0)
+    # deterministic segment scatter-add onto the gaussian table — the
+    # reference's atomicAdd accumulation (gsplatcu/kernel.cu:924-945);
+    # performed in the compact [16, N] layout, transposed once at the end
+    dtable16 = jnp.zeros((PACK_ROWS, n), jnp.float32).at[:, gsafe].add(rows_ct)
+    return dtable16.T, None, None, {key: None for key in meta}
 
 
-_raster_packed.defvjp(_raster_packed_fwd, _raster_packed_bwd)
+_raster_table.defvjp(_raster_table_fwd, _raster_table_bwd)
 
 
 def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
@@ -183,10 +198,9 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
          jnp.zeros((us.shape[0], PACK_ROWS - 9), jnp.float32)],
         axis=1,
     )  # columns: ux uy ca cb cc alpha r g b pad
-    packed = jnp.where(live[:, None], jnp.take(table, gsafe, axis=0), 0.0)
 
     dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
-    image_t, tau_t, cont_t = _raster_packed(dims, packed, meta)
+    image_t, tau_t, cont_t = _raster_table(dims, table, gsafe, live, meta)
 
     # Tiles with no patches are never visited by any segment; fill them.
     nonempty = (binning["tile_cnt"] > 0)[:, None, None]
