@@ -46,7 +46,8 @@ def test_adam_matches_torch(rng):
         g = {"pws": 2.0 * (xj["pws"] - jnp.asarray(target))}
         xj, state = adam_update(g, state, xj, lr_fns)
 
-    np.testing.assert_allclose(np.asarray(xj["pws"]), xt.detach().numpy(), atol=1e-5)
+    tol = 1e-4 if jax.default_backend() == "tpu" else 1e-5  # TPU fp32 rsqrt drift
+    np.testing.assert_allclose(np.asarray(xj["pws"]), xt.detach().numpy(), atol=tol)
 
 
 def _make_pool(n=8, cap=16, rng=None):
