@@ -110,3 +110,34 @@ def test_gs_sharded_render_matches():
     np.testing.assert_allclose(
         np.asarray(img_shard), np.asarray(img_single), atol=2e-6
     )
+
+
+def test_train_sharded_epoch_driver():
+    """Full sharded epoch driver: bucketing, densify + re-shard, callbacks."""
+    import dataclasses
+
+    from easygaussiansplatting_tpu.parallel.loop import train_sharded
+
+    mesh = make_mesh(8)  # (2, 4)
+    scene = make_synthetic_scene(seed=9, n_gaussians=48, n_cams=4, width=32, height=32)
+    rng = np.random.default_rng(1)
+    pool = pool_from_arrays(
+        scene["pws"] + rng.normal(scale=0.05, size=scene["pws"].shape),
+        scene["rots"], scene["scales"], scene["alphas"], scene["shs"] * 0.5,
+        capacity=96,  # divisible by gs=4
+    )
+    gts = render_gt_images(scene, CONFIG)
+    cfg = dataclasses.replace(
+        CONFIG, epochs=4, densify_every_epochs=2, reset_alpha_every_epochs=3,
+        adaptive_budget=False,
+    )
+    seen = []
+    pool2, history = train_sharded(
+        pool, scene["cameras"], gts, cfg, scene["scene_size"], mesh,
+        batch=2, log_fn=lambda m: None,
+        epoch_cb=lambda e, p, a, s, k: seen.append(e),
+    )
+    assert seen == [1, 2, 3, 4]
+    assert len(history["loss"]) == 4
+    assert np.isfinite(history["loss"]).all()
+    assert int(pool2.n_alive()) >= 48  # densify only grows on this scene
