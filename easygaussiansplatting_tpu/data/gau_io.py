@@ -105,7 +105,11 @@ def load_ply(path):
         if fmt == "binary_little_endian":
             data = np.fromfile(f, dtype=dtype, count=count)
         elif fmt == "ascii":
-            data = np.loadtxt(f, dtype=np.float64, max_rows=count)
+            # ndmin=2: a single-vertex file would otherwise come back 1-D.
+            # Values parse as float64 and cast per-column on assignment, so
+            # integer properties (e.g. uchar colors) keep their dtype.
+            data = np.loadtxt(f, dtype=np.float64, max_rows=count, ndmin=2)
+            data = data.reshape(count, len(names))
             rec = np.zeros(count, dtype=dtype)
             for i, n in enumerate(names):
                 rec[n] = data[:, i]

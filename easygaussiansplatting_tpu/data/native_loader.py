@@ -19,13 +19,26 @@ _LIB = None
 _LIB_TRIED = False
 
 
+def _fresh(so: Path) -> bool:
+    """A stale .so (older than its source) must not shadow code edits."""
+    src = so.with_name("colmap_reader.cc")
+    return not src.is_file() or so.stat().st_mtime >= src.stat().st_mtime
+
+
 def _find_lib():
-    cands = [
-        Path(__file__).resolve().parents[2] / "native" / "libegs_native.so",
-        Path(os.environ.get("EGS_NATIVE_LIB", "")),
-    ]
+    repo_so = Path(__file__).resolve().parents[2] / "native" / "libegs_native.so"
+    src = repo_so.with_name("colmap_reader.cc")
+    if src.is_file() and (not repo_so.is_file() or not _fresh(repo_so)):
+        # (re)build in place; never load a stale binary
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", str(repo_so.parent)],
+            capture_output=True, check=False,
+        )
+    cands = [repo_so, Path(os.environ.get("EGS_NATIVE_LIB", ""))]
     for c in cands:
-        if c and c.is_file():
+        if c and c.is_file() and _fresh(c):
             return c
     return None
 

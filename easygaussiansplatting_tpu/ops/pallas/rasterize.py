@@ -151,8 +151,8 @@ def _raster_table_bwd(dims, res, cotangents):
         n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
     )
     rows_ct = jnp.where(live[None, :], grads16, 0.0)
-    # deterministic segment scatter-add onto the gaussian table — the
-    # reference's atomicAdd accumulation (gsplatcu/kernel.cu:924-945);
+    # deterministic segment scatter-add onto the gaussian table (B.6.2) —
+    # the reference's atomicAdd accumulation (gsplatcu/kernel.cu:924-945);
     # performed in the compact [16, N] layout, transposed once at the end
     dtable16 = jnp.zeros((PACK_ROWS, n), jnp.float32).at[:, gsafe].add(rows_ct)
     return dtable16.T, None, None, {key: None for key in meta}
@@ -171,8 +171,13 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     """
     if interpret is None:
         interpret = _use_interpret()
-    # HBM block slices along the lane (last) axis must be 128-aligned on TPU.
-    k_chunk = max(128, ((k_chunk + 127) // 128) * 128)
+    # HBM block slices along the lane (last) axis must be 128-aligned on TPU,
+    # and the kernels' circular-doubling reductions (lanescan.prod_all) are
+    # only correct for power-of-two axis lengths — round up to the next
+    # power of two >= 128 (a non-pow2 k_chunk would silently corrupt the
+    # transmittance product).
+    k_chunk = max(128, 1 << (int(k_chunk) - 1).bit_length())
+    assert k_chunk & (k_chunk - 1) == 0
     gx = -(-width // tile)
     gy = -(-height // tile)
     n_tiles = gx * gy

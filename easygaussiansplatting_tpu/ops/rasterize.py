@@ -20,6 +20,62 @@ import jax
 from easygaussiansplatting_tpu.ops import stages
 
 
+def raster_from_aux(
+    us, cinv2ds, alphas, colors, depths, areas, valid, *,
+    width, height, backend="tiled", tile=16, max_patches=2**18, max_rows=None,
+    k_chunk=64, n_chunks=16,
+):
+    """Stage 6 alone: bin + rasterise already-preprocessed attributes.
+
+    This is the boundary the parallel layer wraps in shard_map: stages 1-5
+    run GSPMD-sharded over the (data, gs) mesh, the per-camera attribute
+    arrays are all-gathered over the gs axis at this function's entry, and
+    binning + the Pallas kernels run unsharded per data-shard (the Mosaic
+    custom call cannot be auto-partitioned by GSPMD). Returns
+    (image [3,H,W], raster-aux dict).
+    """
+    if backend == "dense":
+        from easygaussiansplatting_tpu.ops.rasterize_ref import rasterize_dense
+
+        image, contrib, final_tau = rasterize_dense(
+            us, cinv2ds, alphas, colors, depths, areas, valid,
+            width=width, height=height, tile=tile,
+        )
+        return image, {"contrib": contrib, "final_tau": final_tau}
+
+    from easygaussiansplatting_tpu.ops.binning import bin_gaussians
+
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(us),
+        jax.lax.stop_gradient(depths),
+        jax.lax.stop_gradient(areas),
+        valid,
+        width=width, height=height, tile=tile, max_patches=max_patches,
+        max_rows=max_rows,
+    )
+
+    if backend == "tiled":
+        from easygaussiansplatting_tpu.ops.rasterize_tiled import rasterize_tiled
+
+        image, raux = rasterize_tiled(
+            us, cinv2ds, alphas, colors,
+            binning["patch_gsid"], binning["tile_start"], binning["tile_cnt"],
+            width=width, height=height, tile=tile,
+            k_chunk=k_chunk, n_chunks=n_chunks,
+        )
+    elif backend == "pallas":
+        from easygaussiansplatting_tpu.ops.pallas.rasterize import rasterize_pallas
+
+        image, raux = rasterize_pallas(
+            us, cinv2ds, alphas, colors, binning,
+            width=width, height=height, tile=tile, k_chunk=k_chunk,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    return image, {**raux, "binning": binning}
+
+
 def render(
     pws, shs, alphas, scales, rots, cam,
     alive=None, us_offset=None, sh_degree=3, backend="tiled",
@@ -32,43 +88,11 @@ def render(
         us = us + us_offset
         aux["us"] = us
 
-    if backend == "dense":
-        from easygaussiansplatting_tpu.ops.rasterize_ref import rasterize_dense
-
-        image, contrib, final_tau = rasterize_dense(
-            us, aux["cinv2ds"], aux["alphas"], aux["colors"], aux["depths"],
-            aux["areas"], aux["valid"], width=cam.width, height=cam.height, tile=tile,
-        )
-        return image, {**aux, "contrib": contrib, "final_tau": final_tau}
-
-    from easygaussiansplatting_tpu.ops.binning import bin_gaussians
-
-    binning = bin_gaussians(
-        jax.lax.stop_gradient(us),
-        jax.lax.stop_gradient(aux["depths"]),
-        jax.lax.stop_gradient(aux["areas"]),
-        aux["valid"],
-        width=cam.width, height=cam.height, tile=tile, max_patches=max_patches,
-        max_rows=max_rows,
+    image, raux = raster_from_aux(
+        us, aux["cinv2ds"], aux["alphas"], aux["colors"], aux["depths"],
+        aux["areas"], aux["valid"],
+        width=cam.width, height=cam.height, backend=backend, tile=tile,
+        max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk,
+        n_chunks=n_chunks,
     )
-
-    if backend == "tiled":
-        from easygaussiansplatting_tpu.ops.rasterize_tiled import rasterize_tiled
-
-        image, raux = rasterize_tiled(
-            us, aux["cinv2ds"], aux["alphas"], aux["colors"],
-            binning["patch_gsid"], binning["tile_start"], binning["tile_cnt"],
-            width=cam.width, height=cam.height, tile=tile,
-            k_chunk=k_chunk, n_chunks=n_chunks,
-        )
-    elif backend == "pallas":
-        from easygaussiansplatting_tpu.ops.pallas.rasterize import rasterize_pallas
-
-        image, raux = rasterize_pallas(
-            us, aux["cinv2ds"], aux["alphas"], aux["colors"], binning,
-            width=cam.width, height=cam.height, tile=tile, k_chunk=k_chunk,
-        )
-    else:
-        raise ValueError(f"unknown backend {backend!r}")
-
-    return image, {**aux, **raux, "binning": binning}
+    return image, {**aux, **raux}

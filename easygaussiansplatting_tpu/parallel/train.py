@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from easygaussiansplatting_tpu.ops import stages
 from easygaussiansplatting_tpu.ops.loss import gau_loss
-from easygaussiansplatting_tpu.ops.rasterize import render
+from easygaussiansplatting_tpu.ops.rasterize import raster_from_aux
 from easygaussiansplatting_tpu.train.density import update_density_stats
 from easygaussiansplatting_tpu.train.optimizer import adam_update, make_lr_fns
 
@@ -68,6 +69,39 @@ def shard_batch(mesh, tree, axis_name="data"):
     )
 
 
+def batched_raster_fn(mesh, config, width, height):
+    """[B,N,*] attribute arrays -> [B,3,H,W] images.
+
+    The raster stage (binning + stage-6 kernels) cannot be auto-partitioned
+    by GSPMD when the backend is a Pallas (Mosaic) custom call, so it runs
+    under shard_map: sharded over ``data`` (each device rasterises its local
+    cameras), with the per-camera attribute arrays all-gathered over the
+    ``gs`` axis at entry — the explicit "gather compacted attributes to tile
+    owners over ICI" step of SURVEY.md §2.9. The VJP runs under the same
+    shard_map; the cotangents leave sharded over ``data`` and GSPMD carries
+    the chain back onto the gs-sharded parameters.
+    """
+
+    def one(us, cinv2ds, alphas, colors, depths, areas, valid):
+        image, _ = raster_from_aux(
+            us, cinv2ds, alphas, colors, depths, areas, valid,
+            width=width, height=height, backend=config.backend,
+            tile=config.tile, max_patches=config.max_patches,
+            max_rows=config.max_rows, k_chunk=config.k_chunk,
+            n_chunks=config.n_chunks,
+        )
+        return image
+
+    batched = jax.vmap(one)
+    if config.backend == "pallas":
+        spec = P("data")
+        batched = jax.shard_map(
+            batched, mesh=mesh, in_specs=(spec,) * 7, out_specs=spec,
+            check_vma=False,
+        )
+    return batched
+
+
 def make_sharded_train_step(mesh, config, scene_size, max_steps):
     """Batched, sharded version of train.loop.make_train_step.
 
@@ -86,24 +120,30 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
         params = pool.params()
         params = jax.lax.with_sharding_constraint(params, pool_shardings(mesh, params))
         us_offset = jnp.zeros((pool.capacity, 2), jnp.float32)
+        raster = batched_raster_fn(mesh, config, bcam.width, bcam.height)
 
         def loss_fn(params, us_offset):
             p = pool.replace_params(params)
             pws, shs, alphas, scales, rots, alive = p.activated()
 
-            def one(cam, gt):
-                image, aux = render(
+            # stages 1-5: embarrassingly parallel over (camera, gaussian) —
+            # GSPMD spreads the [B, N, *] work over the whole (data, gs) mesh
+            aux = jax.vmap(
+                lambda cam: stages.preprocess(
                     pws, shs, alphas, scales, rots, cam,
-                    alive=alive, us_offset=us_offset,
-                    backend=config.backend, tile=config.tile,
-                    max_patches=config.max_patches, max_rows=config.max_rows,
-                    k_chunk=config.k_chunk,
-                    n_chunks=config.n_chunks, sh_degree=config.sh_degree,
+                    alive=alive, sh_degree=config.sh_degree,
                 )
-                return gau_loss(image, gt, config.loss_lambda), aux["depths"]
+            )(bcam)
+            us = aux["us"] + us_offset[None]
 
-            losses, depths = jax.vmap(one)(bcam, gt_images)
-            return jnp.mean(losses), depths
+            images = raster(
+                us, aux["cinv2ds"], aux["alphas"], aux["colors"],
+                aux["depths"], aux["areas"], aux["valid"],
+            )
+            losses = jax.vmap(lambda im, gt: gau_loss(im, gt, config.loss_lambda))(
+                images, gt_images
+            )
+            return jnp.mean(losses), aux["depths"]
 
         (loss, depths), (gparams, g_us) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -124,17 +164,38 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
 
 
 def make_sharded_render(mesh, config):
-    """Jitted whole-image render of a (sharded) pool for eval/inference."""
+    """Jitted whole-image render of a (sharded) pool for eval/inference.
+
+    Single camera: stages 1-5 run gs-sharded; the raster stage runs inside a
+    fully-replicated shard_map for the Pallas backend (every device renders
+    the same image — eval is off the hot path, simplicity wins)."""
 
     @jax.jit
     def render_fn(pool, cam):
         pws, shs, alphas, scales, rots, alive = pool.activated()
-        image, _ = render(
-            pws, shs, alphas, scales, rots, cam,
-            alive=alive, backend=config.backend, tile=config.tile,
-            max_patches=config.max_patches, k_chunk=config.k_chunk,
-            n_chunks=config.n_chunks, sh_degree=config.sh_degree,
+        aux = stages.preprocess(
+            pws, shs, alphas, scales, rots, cam, alive=alive,
+            sh_degree=config.sh_degree,
         )
-        return image
+
+        def one(us, cinv2ds, al, colors, depths, areas, valid):
+            image, _ = raster_from_aux(
+                us, cinv2ds, al, colors, depths, areas, valid,
+                width=cam.width, height=cam.height, backend=config.backend,
+                tile=config.tile, max_patches=config.max_patches,
+                max_rows=config.max_rows, k_chunk=config.k_chunk,
+                n_chunks=config.n_chunks,
+            )
+            return image
+
+        if config.backend == "pallas":
+            one = jax.shard_map(
+                one, mesh=mesh, in_specs=(P(),) * 7, out_specs=P(),
+                check_vma=False,
+            )
+        return one(
+            aux["us"], aux["cinv2ds"], aux["alphas"], aux["colors"],
+            aux["depths"], aux["areas"], aux["valid"],
+        )
 
     return render_fn

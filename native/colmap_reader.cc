@@ -76,6 +76,13 @@ int model_params(int model_id) {
   return kParams[model_id];
 }
 
+// Sanity-bound a record count read from the file: a corrupt/truncated header
+// must not drive multi-TB allocations. Every record occupies at least
+// `min_record` bytes, so n > payload/min_record is provably bogus.
+bool count_plausible(uint64_t n, size_t file_size, size_t min_record) {
+  return n <= (file_size / min_record) + 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -89,11 +96,18 @@ int64_t egs_read_points3d(const char* path, double** xyz_out, uint8_t** rgb_out,
   if (!m.open(path)) return -1;
   Cursor c{m.data, m.data + m.size};
   const uint64_t n = c.read<uint64_t>();
-  if (!c.ok || n > (1ull << 40)) return -1;
+  // min record: 8 id + 24 xyz + 3 rgb + 8 err + 8 track_len = 51 bytes
+  if (!c.ok || !count_plausible(n, m.size, 51)) return -1;
 
   double* xyz = static_cast<double*>(malloc((n * 3) * sizeof(double)));
   uint8_t* rgb = static_cast<uint8_t*>(malloc(n * 3));
   double* err = static_cast<double*>(malloc((n) * sizeof(double)));
+  if (!xyz || !rgb || !err) {
+    free(xyz);
+    free(rgb);
+    free(err);
+    return -1;
+  }
   for (uint64_t i = 0; i < n; ++i) {
     c.skip(8);  // point3D_id
     xyz[i * 3 + 0] = c.read<double>();
@@ -128,13 +142,24 @@ int64_t egs_read_images(const char* path, int32_t** ids_out,
   if (!m.open(path)) return -1;
   Cursor c{m.data, m.data + m.size};
   const uint64_t n = c.read<uint64_t>();
-  if (!c.ok || n > (1ull << 32)) return -1;
+  // min record: 4 id + 32 qvec + 24 tvec + 4 cam + 1 nul + 8 npoints = 73
+  if (!c.ok || !count_plausible(n, m.size, 73)) return -1;
 
   int32_t* ids = static_cast<int32_t*>(malloc((n) * sizeof(int32_t)));
   int32_t* cams = static_cast<int32_t*>(malloc((n) * sizeof(int32_t)));
   double* qvecs = static_cast<double*>(malloc((n * 4) * sizeof(double)));
   double* tvecs = static_cast<double*>(malloc((n * 3) * sizeof(double)));
-  char* names = static_cast<char*>(malloc(m.size));  // upper bound
+  // name chars + per-record nul both come out of the file's bytes, so
+  // m.size + n bounds the blob even for adversarial inputs
+  char* names = static_cast<char*>(malloc(m.size + n));
+  if (!ids || !cams || !qvecs || !tvecs || !names) {
+    free(ids);
+    free(cams);
+    free(qvecs);
+    free(tvecs);
+    free(names);
+    return -1;
+  }
   int64_t npos = 0;
 
   for (uint64_t i = 0; i < n; ++i) {
@@ -175,7 +200,8 @@ int64_t egs_read_cameras(const char* path, int32_t** ids_out,
   if (!m.open(path)) return -1;
   Cursor c{m.data, m.data + m.size};
   const uint64_t n = c.read<uint64_t>();
-  if (!c.ok || n > (1ull << 32)) return -1;
+  // min record: 4 id + 4 model + 8 w + 8 h + 3*8 params = 48 bytes
+  if (!c.ok || !count_plausible(n, m.size, 48)) return -1;
 
   int32_t* ids = static_cast<int32_t*>(malloc((n) * sizeof(int32_t)));
   int32_t* models = static_cast<int32_t*>(malloc((n) * sizeof(int32_t)));
@@ -183,6 +209,15 @@ int64_t egs_read_cameras(const char* path, int32_t** ids_out,
   int64_t* heights = static_cast<int64_t*>(malloc((n) * sizeof(int64_t)));
   double* params = static_cast<double*>(calloc(n * 12, sizeof(double)));
   int32_t* counts = static_cast<int32_t*>(malloc((n) * sizeof(int32_t)));
+  if (!ids || !models || !widths || !heights || !params || !counts) {
+    free(ids);
+    free(models);
+    free(widths);
+    free(heights);
+    free(params);
+    free(counts);
+    return -1;
+  }
 
   for (uint64_t i = 0; i < n; ++i) {
     ids[i] = c.read<int32_t>();

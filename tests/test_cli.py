@@ -39,6 +39,7 @@ def test_sh_demo_cli(tmp_path, monkeypatch):
     assert out.stat().st_size > 0
 
 
+@pytest.mark.slow
 def test_train_eval_viewer_cli_roundtrip(tmp_path, monkeypatch):
     out = tmp_path / "run"
     _run("train.py", ["--synthetic", "--epochs", "2", "--backend", "tiled",

@@ -39,6 +39,29 @@ def test_ply_degree0_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back["sh"], gs["sh"], atol=1e-6)
 
 
+def test_ply_ascii_mixed_dtypes(tmp_path):
+    """ASCII PLY with uchar color properties and a single vertex: both the
+    1-D loadtxt shape and the integer property dtype must parse."""
+    header = (
+        "ply\nformat ascii 1.0\nelement vertex 1\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "property float f_dc_0\nproperty float f_dc_1\nproperty float f_dc_2\n"
+        "property float opacity\n"
+        "property float scale_0\nproperty float scale_1\nproperty float scale_2\n"
+        "property float rot_0\nproperty float rot_1\nproperty float rot_2\n"
+        "property float rot_3\nend_header\n"
+    )
+    row = "1.0 2.0 3.0 255 128 0 0.1 0.2 0.3 0.0 -1.0 -1.0 -1.0 1 0 0 0\n"
+    p = tmp_path / "ascii.ply"
+    p.write_bytes((header + row).encode())
+    gs = gau_io.load_ply(p)
+    assert len(gs) == 1
+    np.testing.assert_allclose(gs["pw"][0], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(gs["alpha"][0], 0.5)  # sigmoid(0)
+    np.testing.assert_allclose(gs["scale"][0], np.exp(-1.0), rtol=1e-6)
+
+
 def test_npy_dispatch(tmp_path, rng):
     gs = _random_gs(rng)
     p = tmp_path / "gs.npy"

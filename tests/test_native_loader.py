@@ -90,3 +90,27 @@ def test_dataset_uses_native(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(ds_nat.cameras[0].Rcw), np.asarray(ds_py.cameras[0].Rcw)
     )
+
+
+def test_corrupt_points3d_rejected(tmp_path):
+    """A bogus record count must fail cleanly, not allocate terabytes."""
+    p = tmp_path / "points3D.bin"
+    p.write_bytes((1 << 50).to_bytes(8, "little"))  # absurd count, no records
+    with pytest.raises(IOError):
+        native_loader.read_points3d_binary(p)
+    # truncated mid-record
+    p.write_bytes((5).to_bytes(8, "little") + b"\x00" * 20)
+    with pytest.raises(IOError):
+        native_loader.read_points3d_binary(p)
+
+
+def test_stale_so_not_loaded(tmp_path, monkeypatch):
+    """native_loader must not prefer a .so older than its source."""
+    src = tmp_path / "colmap_reader.cc"
+    so = tmp_path / "libegs_native.so"
+    so.write_bytes(b"not a real lib")
+    src.write_text("// newer source")
+    import os
+
+    os.utime(so, (0, 0))  # so far older than src
+    assert not native_loader._fresh(so)

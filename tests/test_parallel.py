@@ -27,7 +27,11 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
 )
 
-CONFIG = TrainConfig(backend="tiled", tile=16, max_patches=2**12, k_chunk=32, n_chunks=8)
+# The flagship backend: these tests are the multi-device evidence for the
+# Pallas path (interpret mode on CPU; the same shard_map boundary compiles
+# to the Mosaic kernels on TPU).
+CONFIG = TrainConfig(backend="pallas", tile=16, max_patches=2**12, k_chunk=128)
+CONFIG_TILED = TrainConfig(backend="tiled", tile=16, max_patches=2**12, k_chunk=32, n_chunks=8)
 
 
 def _setup(b, cap_round):
@@ -110,6 +114,47 @@ def test_gs_sharded_render_matches():
     np.testing.assert_allclose(
         np.asarray(img_shard), np.asarray(img_single), atol=2e-6
     )
+
+
+def test_pallas_vs_tiled_backend_sharded():
+    """The two backends agree under the same mesh (pallas rides shard_map,
+    tiled rides plain GSPMD — same numbers either way)."""
+    mesh = make_mesh(8)
+    scene, pool, bcam, gt = _setup(b=2, cap_round=8)
+    import dataclasses
+
+    step_p = make_sharded_train_step(mesh, CONFIG, scene["scene_size"], max_steps=50)
+    step_t = make_sharded_train_step(mesh, CONFIG_TILED, scene["scene_size"], max_steps=50)
+    adam = adam_init(pool.params())
+    stats = density_stats_init(pool.capacity)
+    pool_s, adam_s, stats_s = shard_pool(mesh, pool, adam, stats)
+    bcam_s, gt_s = shard_batch(mesh, bcam), shard_batch(mesh, gt)
+    _, _, _, loss_p = step_p(pool_s, adam_s, stats_s, bcam_s, gt_s)
+    _, _, _, loss_t = step_t(pool_s, adam_s, stats_s, bcam_s, gt_s)
+    np.testing.assert_allclose(float(loss_p), float(loss_t), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_sharded_vs_single_realistic():
+    """Sharded-vs-single parity for the Pallas backend at a size where tiles
+    and chunks genuinely span the patch budget (4k gaussians, 121 tiles)."""
+    import dataclasses
+
+    from easygaussiansplatting_tpu.parallel.train import make_sharded_render
+
+    cfg = dataclasses.replace(CONFIG, max_patches=2**15)
+    scene = make_synthetic_scene(
+        seed=7, n_gaussians=4096, n_cams=2, width=176, height=176
+    )
+    pool = pool_from_arrays(
+        scene["pws"], scene["rots"], scene["scales"], scene["alphas"], scene["shs"],
+        capacity=4096,
+    )
+    img_1 = make_sharded_render(make_mesh(1), cfg)(pool, scene["cameras"][0])
+    mesh8 = make_mesh(8)  # (2, 4)
+    img_8 = make_sharded_render(mesh8, cfg)(shard_pool(mesh8, pool), scene["cameras"][0])
+    assert np.isfinite(np.asarray(img_8)).all()
+    np.testing.assert_allclose(np.asarray(img_8), np.asarray(img_1), atol=2e-6)
 
 
 def test_train_sharded_epoch_driver():

@@ -9,9 +9,12 @@ every Jacobian) and backward_gpu.py (device-vs-CPU parity): on the canonical
     stage functions (random fixed cotangents);
  3. rendered-image parity: tiled + Pallas backends vs the golden tile render;
  4. end-to-end parameter gradients: d(L1 loss)/d{pws, shs, alphas, scales,
-    rots} by autodiff vs finite differences through the full golden renderer.
+    rots} by autodiff vs finite differences through the full golden renderer
+    — on BOTH backends: "tiled" (plain AD) at 1e-4, and the shipped Pallas
+    kernels at a scale-relative fp32 tolerance (reference checks its device
+    gradients too, backward_gpu.py:81-162).
 
-Exit code 0 iff everything is [OK].
+27 checks; exit code 0 iff everything is [OK].
 """
 
 import sys
@@ -135,17 +138,28 @@ def main():
         )
         return np.array([np.abs(img - gt).mean()])
 
-    def jax_loss(*params):
-        img, _ = render(*params, cam, backend="tiled", max_patches=2**12)
-        return jnp.abs(img - jnp.asarray(gt, jnp.float32)).mean()
+    def make_jax_loss(backend):
+        def jax_loss(*params):
+            img, _ = render(*params, cam, backend=backend, max_patches=2**12)
+            return jnp.abs(img - jnp.asarray(gt, jnp.float32)).mean()
 
-    grads = jax.grad(jax_loss, argnums=(0, 1, 2, 3, 4))(*pargs)
+        return jax_loss
+
+    grads = jax.grad(make_jax_loss("tiled"), argnums=(0, 1, 2, 3, 4))(*pargs)
+    # flagship path: the shipped Pallas kernels, not just the AD fallback
+    grads_p = jax.grad(make_jax_loss("pallas"), argnums=(0, 1, 2, 3, 4))(*pargs)
     gargs = [g["pws"], shs, g["alphas"], g["scales"], g["rots"]]
     names = ["pws", "shs", "alphas", "scales", "rots"]
     for i, nm in enumerate(names):
         J = numerical_derivative(golden_loss, gargs, i, delta=1e-6)
         num = J.reshape(np.asarray(gargs[i]).shape)
         ok &= check(np.asarray(grads[i]), num, name=f"dloss/d{nm}")
+        # fp32 kernels vs float64 finite diff: hold the Pallas backward to a
+        # scale-relative fp32 tolerance (hand-written suffix-product replay;
+        # ~1e-3 of the gradient magnitude is the honest fp32 bound)
+        tol = max(1e-4, 1.5e-3 * float(np.abs(num).max()))
+        ok &= check(np.asarray(grads_p[i]), num, atol=tol,
+                    name=f"dloss/d{nm} (pallas, fp32 tol {tol:.1e})")
 
     print("\nALL OK" if ok else "\nFAILURES PRESENT")
     return 0 if ok else 1
