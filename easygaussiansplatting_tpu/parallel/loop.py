@@ -13,10 +13,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from easygaussiansplatting_tpu.parallel.distributed import (
+    process_batch_rows,
+    put_batch,
+    put_replicated,
+    reshard_like,
+)
 from easygaussiansplatting_tpu.parallel.train import (
     make_sharded_render,
     make_sharded_train_step,
-    shard_batch,
     shard_pool,
     stack_cameras,
 )
@@ -46,6 +51,11 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
             f"pool capacity {pool.capacity} not divisible by gs axis {mesh.shape['gs']}"
         )
 
+    multihost = jax.process_count() > 1
+    if multihost and log_fn is print and jax.process_index() != 0:
+        log_fn = lambda *a, **k: None  # noqa: E731 — only host 0 narrates
+    # every process runs the identical rng stream, so batch selection and
+    # densify decisions agree host-to-host without any exchange
     rng = np.random.default_rng(seed + start_epoch)
     if key is None:
         key = jax.random.PRNGKey(seed)
@@ -63,7 +73,18 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
         adam_state = adam_init(pool.params())
     if stats is None:
         stats = density_stats_init(pool.capacity)
-    pool, adam_state, stats = shard_pool(mesh, pool, adam_state, stats)
+
+    def to_mesh(pool, adam_state, stats):
+        if not multihost:
+            return shard_pool(mesh, pool, adam_state, stats)
+        leaves = jax.tree.leaves(pool)
+        if isinstance(leaves[0], jax.Array) and not leaves[0].is_fully_addressable:
+            return reshard_like(mesh, (pool, adam_state, stats))
+        return put_replicated(mesh, (pool, adam_state, stats))
+
+    pool, adam_state, stats = to_mesh(pool, adam_state, stats)
+    # rows of each global batch this process feeds (all of them single-host)
+    my_rows = process_batch_rows(mesh, batch) if multihost else list(range(batch))
     gt_np = [np.asarray(im, np.float32) for im in gt_images]
 
     history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": []}
@@ -71,10 +92,9 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
         t0 = time.time()
         losses = []
         for idxs in _epoch_batches(buckets, batch, rng):
-            bcam = stack_cameras([cameras[i] for i in idxs])
-            gt = jnp.stack([jnp.asarray(gt_np[i]) for i in idxs])
-            bcam = shard_batch(mesh, bcam)
-            gt = shard_batch(mesh, gt)
+            local = [idxs[r] for r in my_rows]
+            bcam = put_batch(mesh, stack_cameras([cameras[i] for i in local]))
+            gt = put_batch(mesh, np.stack([gt_np[i] for i in local]))
             pool, adam_state, stats, loss = step(pool, adam_state, stats, bcam, gt)
             losses.append(loss)
         avg_loss = float(jnp.mean(jnp.stack(losses)))
@@ -87,7 +107,7 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
             pool, adam_state, stats, report = densify_and_prune(
                 pool, adam_state, stats, sub, scene_size, config
             )
-            pool, adam_state, stats = shard_pool(mesh, pool, adam_state, stats)
+            pool, adam_state, stats = to_mesh(pool, adam_state, stats)
             log_fn(
                 f"[epoch {e}] densify: pruned={int(report['n_pruned'])} "
                 f"cloned={int(report['n_cloned'])} split={int(report['n_split'])} "

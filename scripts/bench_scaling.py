@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--height", type=int, default=48)
     ap.add_argument("--gaussians", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a multi-process run (auto-detected topology "
+                         "on Cloud TPU pods; elsewhere set EGS_COORDINATOR/"
+                         "EGS_NUM_PROCESSES/EGS_PROCESS_ID). Measures the "
+                         "full-mesh step only; compare against a single-host "
+                         "run for the cross-host scaling efficiency row.")
     args = ap.parse_args()
 
     if args.virtual:
@@ -40,6 +46,13 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    if args.multihost:
+        from easygaussiansplatting_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
+        print(f"process {jax.process_index()}/{jax.process_count()}: "
+              f"{jax.local_device_count()} local devices", flush=True)
+
     from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene, render_gt_images
     from easygaussiansplatting_tpu.models.gaussians import pool_from_arrays
     from easygaussiansplatting_tpu.parallel import (
@@ -49,6 +62,9 @@ def main():
     from easygaussiansplatting_tpu.train.config import TrainConfig
     from easygaussiansplatting_tpu.train.density import density_stats_init
     from easygaussiansplatting_tpu.train.optimizer import adam_init
+
+    if args.multihost and jax.process_count() > 1:
+        return _run_multihost(args)
 
     n_dev = args.devices or len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
@@ -101,6 +117,69 @@ def main():
         "unit": f"fraction at {rows[-1][0]} devices",
         "vs_baseline": round(rows[-1][3] / 0.70, 3),
     }))
+
+
+def _run_multihost(args):
+    """One timed run of the full process-spanning mesh (every process executes
+    this in lockstep). Efficiency vs a single host = (this pixels/s) /
+    (hosts x single-host pixels/s from a plain run)."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene, render_gt_images
+    from easygaussiansplatting_tpu.models.gaussians import pool_from_arrays
+    from easygaussiansplatting_tpu.parallel.distributed import (
+        make_multihost_mesh, process_batch_rows, put_batch, put_replicated,
+    )
+    from easygaussiansplatting_tpu.parallel.train import stack_cameras
+    from easygaussiansplatting_tpu.train.config import TrainConfig
+    from easygaussiansplatting_tpu.train.density import density_stats_init
+    from easygaussiansplatting_tpu.train.optimizer import adam_init
+    from easygaussiansplatting_tpu.parallel.train import make_sharded_train_step
+
+    mesh = make_multihost_mesh()
+    batch = mesh.shape["data"]
+    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    config = TrainConfig(backend=backend, max_patches=2**13, k_chunk=128, n_chunks=16)
+
+    scene = make_synthetic_scene(
+        seed=0, n_gaussians=args.gaussians, n_cams=batch,
+        width=args.width, height=args.height, log_scale_mean=-3.0,
+    )
+    gts = [np.asarray(g) for g in render_gt_images(scene, config)]
+    cap = ((args.gaussians * 2 + 255) // 256) * 256
+    pool = pool_from_arrays(
+        scene["pws"], scene["rots"], scene["scales"], scene["alphas"],
+        scene["shs"], capacity=cap,
+    )
+    step = make_sharded_train_step(mesh, config, scene["scene_size"], 100)
+    pool, adam, stats = put_replicated(
+        mesh, (pool, adam_init(pool.params()), density_stats_init(pool.capacity))
+    )
+    rows = process_batch_rows(mesh, batch)
+    bcam = put_batch(mesh, stack_cameras([scene["cameras"][i] for i in rows]))
+    gt = put_batch(mesh, np.stack([gts[i] for i in rows]))
+
+    out = step(pool, adam, stats, bcam, gt)
+    jax.block_until_ready(out)
+    t0 = _time.perf_counter()
+    for _ in range(args.steps):
+        pool, adam, stats, loss = step(pool, adam, stats, bcam, gt)
+    jax.block_until_ready(loss)
+    dt = (_time.perf_counter() - t0) / args.steps
+    pix_s = batch * args.width * args.height / dt
+    if jax.process_index() == 0:
+        print(f"{jax.process_count()} hosts, {jax.device_count()} devices: "
+              f"step {dt*1e3:.2f} ms  {pix_s/1e6:.3f} Mpix/s  loss {float(loss):.5f}",
+              flush=True)
+        print(json.dumps({
+            "metric": "multihost_pixels_per_s",
+            "value": round(pix_s / 1e6, 3),
+            "unit": f"Mpix/s over {jax.process_count()} hosts",
+            "vs_baseline": 0.0,
+        }))
 
 
 if __name__ == "__main__":

@@ -46,9 +46,25 @@ def main():
                     help="write a jax.profiler trace of the first epoch")
     ap.add_argument("--preview", action="store_true",
                     help="save a render of camera 0 at each save interval")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize the JAX distributed runtime (on Cloud "
+                         "TPU pods topology is auto-detected; elsewhere pass "
+                         "--coordinator/--num-processes/--process-id or set "
+                         "EGS_COORDINATOR/EGS_NUM_PROCESSES/EGS_PROCESS_ID)")
+    ap.add_argument("--coordinator", help="host:port of process 0")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
+
+    if args.multihost or args.coordinator or args.num_processes:
+        from easygaussiansplatting_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local of {jax.device_count()} devices",
+              flush=True)
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -121,6 +137,11 @@ def main():
         print(f"{time.strftime('%H:%M:%S')} {msg}", flush=True)
 
     def save_cb(epoch, pool, adam_state=None, stats=None, key=None):
+        if jax.process_count() > 1:
+            # collective-free local reassembly (pool layout is data-replicated)
+            from easygaussiansplatting_tpu.parallel.distributed import fetch_to_host
+
+            pool, adam_state, stats = fetch_to_host((pool, adam_state, stats))
         if args.profile and epoch == 1:
             jax.profiler.stop_trace()
             log_fn(f"wrote profiler trace to {args.profile}")
@@ -141,11 +162,23 @@ def main():
                 arr = (np.clip(np.transpose(np.asarray(img), (1, 2, 0)), 0, 1) * 255)
                 Image.fromarray(arr.astype(np.uint8)).save(out / f"preview{epoch:04d}.png")
 
-    if args.batch > 1:
+    multihost = jax.process_count() > 1
+    if multihost and jax.process_index() != 0:
+        # host 0 owns narration and snapshots; other processes still run the
+        # identical program (collectives keep them in lockstep)
+        log_fn = lambda msg: None  # noqa: E731
+        save_cb = None
+    if args.batch > 1 or multihost:
         from easygaussiansplatting_tpu.parallel import make_mesh
         from easygaussiansplatting_tpu.parallel.loop import train_sharded
 
-        mesh = make_mesh(data=args.mesh_data)
+        if multihost:
+            from easygaussiansplatting_tpu.parallel.distributed import make_multihost_mesh
+
+            mesh = make_multihost_mesh(data=args.mesh_data)
+            args.batch = max(args.batch, mesh.shape["data"])
+        else:
+            mesh = make_mesh(data=args.mesh_data)
         log_fn(f"mesh {dict(mesh.shape)}; batch={args.batch}")
         pool, history = train_sharded(
             pool, cameras, images, config, scene_size, mesh,
@@ -159,9 +192,18 @@ def main():
             epoch_cb=save_cb, **resume,
         )
 
+    if multihost:
+        from easygaussiansplatting_tpu.parallel.distributed import fetch_to_host
+
+        pool = fetch_to_host(pool)
+        if jax.process_index() != 0:
+            return
     save_pool(out / "final.npy", pool)
     save_pool(out / "final.ply", pool)  # official-3DGS layout for external viewers
-    log_fn(f"saved {out}/final.npy + .ply; last loss {history['loss'][-1]:.5f}")
+    if history["loss"]:
+        log_fn(f"saved {out}/final.npy + .ply; last loss {history['loss'][-1]:.5f}")
+    else:  # e.g. resumed at start_epoch >= epochs: nothing left to train
+        log_fn(f"saved {out}/final.npy + .ply; no training steps ran")
 
 
 if __name__ == "__main__":
