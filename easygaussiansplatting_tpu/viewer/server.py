@@ -1,0 +1,240 @@
+"""Interactive web viewer: TPU-rendered frames streamed to a browser.
+
+The TPU-native counterpart of the reference's OpenGL/Qt viewer
+(/root/reference/viewer/viewer.py:124, viewer/custom_items/gaussian_item.py:271):
+instead of an instanced-quad GL pipeline on a local GPU, the full splatting
+renderer runs server-side on the TPU and the browser is a thin canvas —
+mouse orbit/pan/zoom posts camera poses to `/render`, which returns a JPEG.
+No Qt/OpenGL dependency; works over SSH tunnels.
+
+Feature parity map (reference -> here):
+* orbit / pan / zoom mouse controls (viewer.py:60-114) -> index.html JS
+* settings window, key M (viewer.py:12-51)            -> settings panel
+* render modes normal / ball / inverse
+  (gaussian_item.py:71-87, gau_frag.glsl:29-40)       -> `mode` query param
+* dataset camera frusta overlay (gaussian_viewer.py:24-60) -> `markers=1`
+  (bright marker gaussians at the dataset camera centres)
+* point-cloud overlay (CloudItem)                     -> `cloud=1`
+  (tiny fixed-size gaussians at the SfM points)
+
+All overlay/mode switches keep the gaussian count and image shape static, so
+every view reuses ONE jitted render: overlays toggle by zeroing their
+alphas (traced), modes transform the input arrays (same shapes) — the jit
+cache never grows past one entry per resolution.
+"""
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from easygaussiansplatting_tpu.data.synthetic import look_at_camera
+
+_SH_C0 = 0.28209479177387814
+MODES = ("normal", "ball", "inverse")
+
+
+def _as_f32(a, shape2=None):
+    a = np.asarray(a, np.float32)
+    return a.reshape(len(a), -1) if shape2 else a
+
+
+class SceneRenderer:
+    """One scene + one jitted TPU render; thread-safe (the chip is one)."""
+
+    def __init__(self, gaussians, dataset_cameras=(), cloud=None,
+                 backend=None, max_patches=2**20, marker_skip=5):
+        import jax
+
+        self.lock = threading.Lock()
+        self.backend = backend or ("pallas" if jax.default_backend() == "tpu" else "tiled")
+        self.max_patches = max_patches
+
+        a = {k: np.asarray(v, np.float32) for k, v in gaussians.items()}
+        n = len(a["pws"])
+        a["shs"] = a["shs"].reshape(n, -1)
+        a["alphas"] = a["alphas"].reshape(n)
+        self.sh_degree = int(np.sqrt(max(1, a["shs"].shape[1] // 3))) - 1
+
+        # overlay blocks are appended once; toggles only zero their alphas
+        self.blocks = [("scene", a)]
+        self.dataset_cameras = list(dataset_cameras)
+        if self.dataset_cameras:
+            from easygaussiansplatting_tpu.viewer.headless import camera_markers
+
+            m = camera_markers(self.dataset_cameras[:: max(1, marker_skip)])
+            self.blocks.append(("markers", self._pad_sh(m, a["shs"].shape[1])))
+        if cloud is not None and len(cloud["pws"]):
+            self.blocks.append(("cloud", self._pad_sh(cloud, a["shs"].shape[1])))
+
+        self.full = {
+            k: np.concatenate([_as_f32(b[k]).reshape(len(b["pws"]), -1)
+                               for _, b in self.blocks]).squeeze()
+            for k in ("pws", "rots", "scales", "alphas", "shs")
+        }
+        self.full["shs"] = self.full["shs"].reshape(len(self.full["pws"]), -1)
+        self.slices = {}
+        off = 0
+        for name, b in self.blocks:
+            self.slices[name] = slice(off, off + len(b["pws"]))
+            off += len(b["pws"])
+
+        pws = self.full["pws"]
+        self.center = pws[self.slices["scene"]].mean(0).tolist()
+        self.radius = 2.5 * float(np.percentile(
+            np.linalg.norm(pws[self.slices["scene"]] - np.float32(self.center), axis=1), 90
+        ))
+        self._jit_cache = {}
+
+    @staticmethod
+    def _pad_sh(block, sh_width):
+        b = {k: np.asarray(v, np.float32) for k, v in block.items()}
+        sh = np.zeros((len(b["pws"]), sh_width), np.float32)
+        sh[:, : b["shs"].shape[1]] = b["shs"].reshape(len(b["pws"]), -1)
+        b["shs"] = sh
+        return b
+
+    def _render_fn(self, width, height):
+        """One jitted (params, cam) -> [3,H,W] render per resolution."""
+        import jax
+
+        key = (width, height)
+        if key not in self._jit_cache:
+            import jax.numpy as jnp
+
+            from easygaussiansplatting_tpu.ops.rasterize import render
+
+            @jax.jit
+            def fn(pws, shs, alphas, scales, rots, cam):
+                img, _ = render(
+                    pws, shs, alphas, scales, rots, cam,
+                    backend=self.backend, max_patches=self.max_patches,
+                    sh_degree=self.sh_degree,
+                )
+                return jnp.clip(img, 0.0, 1.0)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def render(self, *, azimuth=0.0, elevation=0.3, radius=None, center=None,
+               width=640, height=480, mode="normal", markers=False, cloud=False,
+               fov_f=0.9):
+        """Render one view; returns [H,W,3] uint8."""
+        import jax
+
+        center = np.asarray(center if center is not None else self.center, np.float64)
+        radius = float(radius or self.radius)
+        pos = center + radius * np.array([
+            np.cos(elevation) * np.cos(azimuth),
+            np.cos(elevation) * np.sin(azimuth),
+            np.sin(elevation),
+        ])
+        cam = look_at_camera(pos, center, width, height, fov_f * width, cam_id=0)
+
+        a = {k: v.copy() for k, v in self.full.items()}
+        if not markers and "markers" in self.slices:
+            a["alphas"][self.slices["markers"]] = 0.0
+        if not cloud and "cloud" in self.slices:
+            a["alphas"][self.slices["cloud"]] = 0.0
+        if mode == "ball":
+            # hard opaque discs (reference gau_frag.glsl:31-34: alpha' > 0.3
+            # -> 1): saturate opacity, tighten the footprint
+            s = self.slices["scene"]
+            a["alphas"][s] = np.where(a["alphas"][s] > 0.0, 0.99, 0.0)
+            a["scales"][s] = a["scales"][s] * 0.6
+        elif mode == "inverse":
+            # color = sum c.Y + 0.5 -> negating coefficients gives 1 - color
+            # (reference gau_frag.glsl:36-38)
+            s = self.slices["scene"]
+            a["shs"][s] = -a["shs"][s]
+
+        with self.lock:
+            fn = self._render_fn(width, height)
+            img = fn(a["pws"], a["shs"], a["alphas"], a["scales"], a["rots"], cam)
+            img = np.asarray(jax.block_until_ready(img))
+        return (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
+
+    def info(self):
+        return {
+            "n_gaussians": int(self.slices["scene"].stop),
+            "n_dataset_cameras": len(self.dataset_cameras),
+            "has_cloud": "cloud" in self.slices,
+            "center": self.center,
+            "radius": self.radius,
+            "backend": self.backend,
+            "sh_degree": self.sh_degree,
+            "modes": list(MODES),
+        }
+
+
+def _encode(img_u8, fmt="jpeg", quality=90):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img_u8).save(
+        buf, format="JPEG" if fmt == "jpeg" else "PNG",
+        **({"quality": quality} if fmt == "jpeg" else {}),
+    )
+    return buf.getvalue(), ("image/jpeg" if fmt == "jpeg" else "image/png")
+
+
+def make_handler(renderer):
+    index_html = (Path(__file__).parent / "index.html").read_text()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path in ("/", "/index.html"):
+                    self._send(200, index_html.encode(), "text/html")
+                elif url.path == "/info":
+                    self._send(200, json.dumps(renderer.info()).encode(),
+                               "application/json")
+                elif url.path == "/render":
+                    img = renderer.render(
+                        azimuth=float(q.get("az", 0.0)),
+                        elevation=float(q.get("el", 0.3)),
+                        radius=float(q["r"]) if "r" in q else None,
+                        center=[float(q["cx"]), float(q["cy"]), float(q["cz"])]
+                        if "cx" in q else None,
+                        width=int(q.get("w", 640)),
+                        height=int(q.get("h", 480)),
+                        mode=q.get("mode", "normal"),
+                        markers=q.get("markers", "0") == "1",
+                        cloud=q.get("cloud", "0") == "1",
+                        fov_f=float(q.get("fov", 0.9)),
+                    )
+                    body, ctype = _encode(img, q.get("fmt", "jpeg"))
+                    self._send(200, body, ctype)
+                else:
+                    self._send(404, b"not found", "text/plain")
+            except Exception as e:  # surface errors to the browser console
+                self._send(500, f"{type(e).__name__}: {e}".encode(), "text/plain")
+
+    return Handler
+
+
+def serve(renderer, port=8080, host="127.0.0.1"):
+    httpd = ThreadingHTTPServer((host, port), make_handler(renderer))
+    print(f"viewer: http://{host}:{port}/  (ctrl-c to stop)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

@@ -1,11 +1,18 @@
-"""Headless gaussian viewer: turntable render of a trained model.
+"""Gaussian viewer: interactive web viewer or headless turntable render.
 
 The TPU counterpart of the reference's interactive viewer entry
-(/root/reference/gaussian_viewer.py): loads a .ply/.npy Gaussian set and
-renders an orbit around it — to an animated GIF and/or PNG frames — using
-the TPU rasteriser. Exported .npy/.ply files stay loadable by the
-reference's own OpenGL viewer for interactive use on a GPU workstation.
+(/root/reference/gaussian_viewer.py):
 
+* `--serve` starts an interactive web viewer (mouse orbit/pan/zoom, render
+  modes, dataset-camera + point-cloud overlays) with frames rendered on the
+  TPU — the reference's Qt/OpenGL window replaced by a browser page
+  (viewer/server.py).
+* without `--serve`, renders a headless orbit to an animated GIF / PNGs.
+
+Exported .npy/.ply files additionally stay loadable by the reference's own
+OpenGL viewer for local-GPU use.
+
+    python gaussian_viewer.py --gs trained.ply --serve --port 8080
     python gaussian_viewer.py --gs trained.ply --out orbit.gif
 """
 
@@ -14,6 +21,10 @@ import argparse
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--serve", action="store_true",
+                    help="start the interactive web viewer")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--gs", help="gaussians (.ply/.npy); default: example fixture")
     ap.add_argument("--path", help="COLMAP dataset dir: overlay its camera "
                                    "positions as markers (reference shows "
@@ -53,6 +64,36 @@ def main():
         g = example_gaussians()
         a = {"pws": g["pws"], "rots": g["rots"], "scales": g["scales"],
              "alphas": g["alphas"], "shs": g["shs"]}
+
+    if args.serve:
+        from easygaussiansplatting_tpu.viewer.server import SceneRenderer, serve
+
+        dataset_cameras, cloud = (), None
+        if args.path:
+            from easygaussiansplatting_tpu.data.dataset import load_colmap_dataset
+            from easygaussiansplatting_tpu.data.gau_io import recarray_to_arrays
+
+            ds = load_colmap_dataset(args.path, load_images=False)
+            dataset_cameras = ds.cameras
+            # SfM points as a fixed-size point-cloud overlay (reference
+            # CloudItem); reuse the init gaussians' positions/colors
+            c = recarray_to_arrays(ds.gs)
+            spread = float(np.percentile(
+                np.linalg.norm(c["pws"] - c["pws"].mean(0), axis=1), 90)) or 1.0
+            cloud = {
+                "pws": c["pws"],
+                "rots": c["rots"],
+                "scales": np.full_like(c["scales"], 0.002 * spread),
+                "alphas": np.full_like(np.asarray(c["alphas"]).reshape(-1), 0.9),
+                "shs": np.asarray(c["shs"], np.float32).reshape(len(c["pws"]), -1)[:, :3],
+            }
+        renderer = SceneRenderer(
+            a, dataset_cameras=dataset_cameras, cloud=cloud,
+            backend=None if args.backend == "pallas" else args.backend,
+            marker_skip=args.skip,
+        )
+        serve(renderer, port=args.port, host=args.host)
+        return
 
     if args.path:
         from easygaussiansplatting_tpu.data.dataset import load_colmap_dataset
