@@ -80,9 +80,9 @@ def _chunk_alpha(data, px, py):
     alpha = data[:, 5:6]
     dx = ux - px  # [K,P]
     dy = uy - py
-    maha_raw = ca * dx * dx + cc * dy * dy + 2.0 * cb * dx * dy
+    maha_raw = ca * dx * dx + cc * dy * dy + 2.0 * cb * dx * dy  # (F.6.1)
     maha = jnp.maximum(0.0, maha_raw)
-    ap = jnp.minimum(ALPHA_CLAMP, alpha * jnp.exp(-0.5 * maha))
+    ap = jnp.minimum(ALPHA_CLAMP, alpha * jnp.exp(-0.5 * maha))  # (F.6.2)
     return ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha)
 
 
@@ -114,8 +114,8 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
         ap, _ = _chunk_alpha(data, px, py)
         m1 = in_seg & (ap >= ALPHA_SKIP)
         one_m = jnp.where(m1, 1.0 - ap, 1.0)
-        tau_ex = tau * prefix_prod_exclusive(one_m)  # [K,P]
-        contribute = m1 & (tau_ex >= TAU_STOP)
+        tau_ex = tau * prefix_prod_exclusive(one_m)  # [K,P] (F.6.3)
+        contribute = m1 & (tau_ex >= TAU_STOP)  # (F.6.4)
         wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [K,P]
         colc = data[:, 6:9]  # [K,3]
         img_s[:] = img_s[:] + jax.lax.dot_general(
@@ -149,7 +149,8 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     px, py = _pixel_coords(t, gx, tile, p)
 
     # First visit of this tile (its last segment): load the final
-    # transmittance, clear the color-gradient carry (drawB kernel.cu:899-916).
+    # transmittance (B.2.1 carry init), clear the color-gradient carry
+    # (B.2.2; drawB kernel.cu:899-916).
     @pl.when(last_ref[rs] == 1)
     def _():
         tau_s[:] = tau_ref[0]
@@ -169,8 +170,9 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     pos = pos_ref[rs]
 
     # A segment contributes only if some pixel's contributor count reaches
-    # it. The per-tile max count is precomputed outside (maxcont prefetch)
-    # so the test stays scalar — no per-step vector->scalar pipeline stall.
+    # it (B.2.3). The per-tile max count is precomputed outside (maxcont
+    # prefetch) so the test stays scalar — no per-step vector->scalar
+    # pipeline stall.
     @pl.when((hi > lo) & (maxcont_ref[t] > pos))
     def _():
         cont = cont_ref[0]  # [1,P] int32
@@ -185,52 +187,56 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
         m = in_seg & (idx0 < cont) & (ap >= ALPHA_SKIP)
 
         one_m = jnp.where(m, 1.0 - ap, 1.0)
-        sfx = suffix_prod_inclusive(one_m)  # [K,P]
+        sfx = suffix_prod_inclusive(one_m)  # [K,P] (B.2.1)
         tau_end = tau_s[:]
-        tau_ex = tau_end / sfx              # T_{k-1} per entry (drawB division)
+        tau_ex = tau_end / sfx              # T_{k-1} per entry (B.2.1; drawB division)
         tau_s[:] = tau_end / sfx[0:1, :]
 
         contr = jnp.where(m, tau_ex * ap, 0.0)  # [K,P]
         colc = data[:, 6:9]  # [K,3]
-        # cg[k,p] = sum_c color[k,c] * g[c,p]
+        # cg[k,p] = sum_c color[k,c] * g[c,p]  (B.5.2)
         cg = jax.lax.dot_general(
             colc, g, (((1,), (0,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
         )  # [K,P]
         cgw = contr * cg
-        # Gg[k,p] = g . (accumulated color behind entry k) — suffix sum + carry
+        # Gg[k,p] = g . (accumulated color behind entry k) — suffix sum +
+        # carry (B.2.2)
         gag = gag_s[:]
         Gg = suffix_sum_exclusive(cgw) + gag
         gag_s[:] = gag + jnp.sum(cgw, axis=0, keepdims=True)
 
+        # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)
         dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
         unclamped = ap < ALPHA_CLAMP
         e = jnp.exp(-0.5 * jnp.maximum(0.0, maha_raw))
         dalpha = jnp.sum(jnp.where(m & unclamped, dap * e, 0.0), axis=1, keepdims=True)  # [K,1]
         dm = jnp.where(m & unclamped & (maha_raw > 0.0), dap * (-0.5) * ap, 0.0)  # [K,P]
 
-        # moment sums over pixels (lanes)
+        # moment sums over pixels (B.4.3): six sublane reductions replace
+        # five more [K,P] materialisations
         s0 = jnp.sum(dm, axis=1, keepdims=True)  # [K,1]
         sx = jnp.sum(dm * px, axis=1, keepdims=True)
         sy = jnp.sum(dm * py, axis=1, keepdims=True)
         sxx = jnp.sum(dm * px * px, axis=1, keepdims=True)
         sxy = jnp.sum(dm * px * py, axis=1, keepdims=True)
         syy = jnp.sum(dm * py * py, axis=1, keepdims=True)
-        ex = ux * s0 - sx  # sum dm * dx
+        ex = ux * s0 - sx  # sum dm * dx (B.4.3)
         ey = uy * s0 - sy
-        dux = 2.0 * ca * ex + 2.0 * cb * ey
+        dux = 2.0 * ca * ex + 2.0 * cb * ey  # (B.4.4)
         duy = 2.0 * cc * ey + 2.0 * cb * ex
-        dca = ux * ux * s0 - 2.0 * ux * sx + sxx
+        dca = ux * ux * s0 - 2.0 * ux * sx + sxx  # (B.4.5)
         dcb = 2.0 * (ux * uy * s0 - ux * sy - uy * sx + sxy)
         dcc = uy * uy * s0 - 2.0 * uy * sy + syy
 
-        # dcolor[k,c] = sum_p contr[k,p] * g[c,p]
+        # dcolor[k,c] = sum_p contr[k,p] * g[c,p]  (B.1.1 as one MXU
+        # contraction, B.5.1)
         dcolor = jax.lax.dot_general(
             contr, g, (((1,), (1,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
         )  # [K,3]
 
-        # masked read-modify-write: other segments own the other lanes
+        # masked read-modify-write (B.6.1): other segments own the other lanes
         colmask = rowmask.reshape(1, k)  # [1,K]
         grads_ref[0:1, :] = jnp.where(colmask, dux.reshape(1, k), grads_ref[0:1, :])
         grads_ref[1:2, :] = jnp.where(colmask, duy.reshape(1, k), grads_ref[1:2, :])

@@ -25,8 +25,8 @@ MIN_DEPTH = 0.2
 def project(pws, Rcw, tcw, fx, fy, cx, cy):
     """Stage 1: world -> camera -> pixel.
 
-    Returns (us [N,2], pcs [N,3], depths [N]). Parity target:
-    /root/reference/gsplatcu/kernel.cu:553-617.
+    Returns (us [N,2], pcs [N,3], depths [N]) per (F.1.1)-(F.1.2),
+    docs/forward.md. Parity target: /root/reference/gsplatcu/kernel.cu:553-617.
     """
     pcs = jnp.matmul(pws, Rcw.T, precision=jax.lax.Precision.HIGHEST) + tcw
     z = pcs[:, 2]
@@ -40,7 +40,7 @@ def project(pws, Rcw, tcw, fx, fy, cx, cy):
 def compute_cov3d(rots, scales):
     """Stage 2: unit quaternion (wxyz) + scales -> Sigma upper triangle [N,6].
 
-    Sigma = (R S)(R S)^T. Parity target: kernel.cu:326-423.
+    Sigma = (R S)(R S)^T (F.2.1). Parity target: kernel.cu:326-423.
     """
     w, x, y, z = rots[:, 0], rots[:, 1], rots[:, 2], rots[:, 3]
     sx, sy, sz = scales[:, 0], scales[:, 1], scales[:, 2]
@@ -64,7 +64,7 @@ def compute_cov3d(rots, scales):
 
 
 def compute_cov2d(cov3ds, pcs, Rcw, fx, fy, width, height):
-    """Stage 3: EWA projection of the 3D covariance to a 2D conic precursor.
+    """Stage 3: EWA projection of the 3D covariance to 2D (F.3.1-F.3.2).
 
     cov2d = M Sigma M^T + 0.3 I with M = J Rcw and x/z, y/z clamped to
     +-1.3 tan(fov) (tan_fov = W/(2 fx), matching the CUDA host wrapper
@@ -113,7 +113,7 @@ def compute_cov2d(cov3ds, pcs, Rcw, fx, fy, width, height):
 
 
 def sh2color(shs, pws, twc, degree=3):
-    """Stage 4: real SH (deg 0..3) -> RGB along ray dir = normalize(pw - twc).
+    """Stage 4: real SH (deg 0..3) -> RGB along the view ray (F.4.1).
 
     shs: [N, 3*(degree+1)^2], RGB interleaved per basis function.
     Parity target: kernel.cu:619-807.
@@ -132,7 +132,7 @@ def sh2color(shs, pws, twc, degree=3):
 
 
 def inverse_cov2d(cov2ds):
-    """Stage 5: conic (2x2 analytic inverse) + 3-sigma extents.
+    """Stage 5: conic (2x2 analytic inverse) + 3-sigma extents (F.5.1-F.5.2).
 
     Returns (cinv2ds [N,3], areas [N,2] float). Degenerate determinants are
     guarded (zero-gradient) rather than marked like the reference

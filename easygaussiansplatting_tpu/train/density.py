@@ -51,6 +51,8 @@ def density_stats_init(capacity):
 
 def update_density_stats(stats, dloss_dus, visible):
     """Accumulate screen-space gradient norms for visible Gaussians
+    (docs/backward.md B.8: the zero-valued us_offset whose gradient is
+    exactly dL/du per Gaussian)
     (gsmodel.py:214-230)."""
     grad = jnp.linalg.norm(dloss_dus, axis=-1)
     return DensityStats(
