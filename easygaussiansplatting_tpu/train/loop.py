@@ -94,9 +94,86 @@ class PatchBudget:
                 return True
         return False
 
+    def predict(self, observed_max: int):
+        """The next ladder rung, once the observed count is within ~70% of
+        the current budget — the bucket a near-future update() will land on
+        (rungs are ~1.5x apart, so steady densification growth crosses at
+        most one rung per interval). Used to pre-compile ahead of the
+        switch."""
+        if not self.config.adaptive_budget:
+            return None
+        if observed_max <= 0.7 * self.value:
+            return None
+        return _round_budget(self.value + 1)
+
 
 def _round_budget(n, quantum=16384):
-    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+    """Smallest budget rung >= n. Rungs form a geometric ladder
+    quantum * {2^k, 3*2^k} (~x1.5 steps; every rung a multiple of the scan
+    kernel's 16384-lane block — non-multiples silently fall back to the slow
+    XLA cumsum, scan.py:56): coarse enough that a training run visits only a
+    handful of distinct budgets (each one jit entry), and the "next rung" is
+    a well-defined prefetch target."""
+    n = max(n, quantum)
+    r = 1
+    while r * quantum < n:
+        if r == 1:
+            r = 2
+        elif (r & (r - 1)) == 0:
+            r = r * 3 // 2
+        else:
+            r = r * 4 // 3
+    return r * quantum
+
+
+class StepCache:
+    """Per-budget train steps with background pre-compilation.
+
+    A budget change used to stall training for a full recompile of the step
+    (2-3 min over tunneled backends). Instead: (a) steps are cached per
+    budget, so revisiting a size is free; (b) `prefetch` warms the next
+    bucket's jit cache in a daemon thread by running ONE step with the live
+    state (the extra ~50 ms device step is noise next to the minutes of
+    compile it hides) while the main loop keeps training on the current
+    budget. By the time PatchBudget switches, the step is already compiled.
+    """
+
+    def __init__(self, make_fn):
+        self.make_fn = make_fn
+        self.steps = {}
+        self._warm = set()  # budgets whose compile has been triggered
+        self._thread = None
+
+    def get(self, budget):
+        if budget not in self.steps:
+            self.steps[budget] = self.make_fn(budget)
+        self._warm.add(budget)  # the caller is about to run it
+        return self.steps[budget]
+
+    def prefetch(self, budget, example_args, log_fn=None):
+        import threading
+
+        if budget is None or budget in self._warm:
+            return
+        if self._thread is not None and self._thread.is_alive():
+            return  # one background compile at a time
+        step = self.get(budget)
+
+        def run():
+            try:
+                jax.block_until_ready(step(*example_args))
+                if log_fn:
+                    log_fn(f"pre-compiled patch budget {budget}")
+            except Exception as e:  # pragma: no cover - diagnostics only
+                if log_fn:
+                    log_fn(f"budget {budget} pre-compile failed: {e}")
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
 
 
 def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
@@ -111,7 +188,10 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
     n = len(cameras)
     max_steps = config.epochs * n
     budget = PatchBudget(config)
-    train_step = make_train_step(config, scene_size, max_steps, max_patches=budget.value)
+    steps = StepCache(
+        lambda b: make_train_step(config, scene_size, max_steps, max_patches=b)
+    )
+    train_step = steps.get(budget.value)
 
     if adam_state is None:
         adam_state = adam_init(pool.params())
@@ -134,10 +214,17 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
         avg_loss = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(avg_loss)
         history["epoch_time"].append(time.time() - t0)
-        if budget.update(int(jnp.max(jnp.stack(patch_peak)))):
+        peak = int(jnp.max(jnp.stack(patch_peak)))
+        if budget.update(peak):
             log_fn(f"[epoch {epoch + 1}] patch budget -> {budget.value}")
-            train_step = make_train_step(
-                config, scene_size, max_steps, max_patches=budget.value
+            train_step = steps.get(budget.value)
+        else:
+            # growth headed for the next bucket: compile it in the background
+            # now so the eventual switch costs nothing (VERDICT r1 item 9)
+            steps.prefetch(
+                budget.predict(peak),
+                (pool, adam_state, stats, cameras[order[0]], gt_images[order[0]]),
+                log_fn=log_fn,
             )
 
         e = epoch + 1

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from easygaussiansplatting_tpu.models.gaussians import GaussianPool, pool_from_arrays
 from easygaussiansplatting_tpu.train import (
@@ -133,6 +134,7 @@ def test_reset_alpha():
     assert float(jnp.abs(new_state.mu["alphas_raw"]).sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_end_to_end_training_improves_psnr():
     """A 3-epoch run on a tiny synthetic scene must reduce loss and raise
     PSNR — the minimum end-to-end slice (SURVEY.md §7 M1)."""
@@ -192,3 +194,55 @@ def test_patch_budget_logic():
     cfg2 = dataclasses.replace(cfg, adaptive_budget=False)
     b2 = PatchBudget(cfg2)
     assert not b2.update(10**7)
+
+
+def test_budget_ladder_and_predict():
+    from easygaussiansplatting_tpu.train.config import TrainConfig
+    from easygaussiansplatting_tpu.train.loop import PatchBudget, _round_budget
+
+    # geometric rungs: quantum * {2^k, 3*2^k}, all scan-quantum multiples
+    rungs = [_round_budget(n) for n in (1, 16385, 40_000, 50_000, 375_000)]
+    assert rungs == [16384, 32768, 49152, 65536, 393216]
+    assert all(r % 16384 == 0 for r in rungs)
+    assert _round_budget(2**18) == 2**18  # powers of two are rungs
+
+    cfg = TrainConfig(max_patches=2**18, adaptive_budget=True, budget_headroom=1.5)
+    b = PatchBudget(cfg)
+    # far from full: nothing to prefetch
+    assert b.predict(100_000) is None
+    # approaching the budget: prefetch target is the next rung, and it is
+    # exactly what update() later lands on under steady growth
+    nxt = b.predict(200_000)
+    assert nxt == _round_budget(2**18 + 1)
+    grown = int(0.95 * b.value)
+    b.update(grown)
+    assert b.value == nxt
+
+
+def test_step_cache_reuse_and_prefetch():
+    from easygaussiansplatting_tpu.train.loop import StepCache
+
+    calls = []
+
+    def make(budget):
+        calls.append(budget)
+
+        def step(*args):
+            import jax.numpy as jnp
+
+            return jnp.float32(budget)
+
+        return step
+
+    cache = StepCache(make)
+    s1 = cache.get(100)
+    assert cache.get(100) is s1 and calls == [100]  # cached, not rebuilt
+    cache.prefetch(200, ())
+    cache.wait()
+    assert calls == [100, 200]
+    s2 = cache.get(200)  # the switch reuses the prefetched step
+    assert calls == [100, 200] and s2 is cache.steps[200]
+    cache.prefetch(200, ())  # already warm: no new thread/build
+    assert calls == [100, 200]
+    cache.prefetch(None, ())  # no target: no-op
+    assert calls == [100, 200]
