@@ -245,6 +245,11 @@ def segment_layout(binning, *, k_chunk, n_tiles):
     prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), seg_tile[:-1]])
     nxt = jnp.concatenate([seg_tile[1:], jnp.full(1, -1, jnp.int32)])
     nxt_chunk = jnp.concatenate([seg_chunk[1:], jnp.full(1, -1, jnp.int32)])
+    # padding tail: slots past the kept patch count hold gsid -1 and sort to
+    # the end; segments fully inside the tail carry no work. The budget runs
+    # ~1.5x the true patch count (adaptive headroom), so gating on this flag
+    # saves the kernels' compute on alpha=0 padding rows.
+    kept = jnp.sum(binning["tile_cnt"])
     return {
         "seg_chunk": seg_chunk,
         "seg_tile": seg_tile,
@@ -254,6 +259,7 @@ def segment_layout(binning, *, k_chunk, n_tiles):
         "seg_first": (seg_tile != prev).astype(jnp.int32),
         "seg_last": (seg_tile != nxt).astype(jnp.int32),
         "chunk_tail": (seg_chunk != nxt_chunk).astype(jnp.int32),
+        "seg_live": (seg_start < kept).astype(jnp.int32),
     }
 
 

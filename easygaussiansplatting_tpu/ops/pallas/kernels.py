@@ -55,7 +55,9 @@ ALPHA_CLAMP = 0.99
 ALPHA_SKIP = 0.002
 TAU_STOP = 1e-4
 PACK_ROWS = 16  # attribute columns per patch row (see layout above)
-GRAD_ROWS = 16  # same column order as PACK_ROWS for the vjp transpose
+GRAD_ROWS = 16  # kernel grad-block rows ([16,K] keeps full-tile writes);
+GRAD_USED = 9  # only u/conic/alpha/color columns carry data — the VJP
+# scatter moves just these
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -68,6 +70,25 @@ def _pixel_coords(t, gx, tile, p):
     px = (tx * tile + lane % tile).astype(jnp.float32)
     py = (ty * tile + lane // tile).astype(jnp.float32)
     return px, py
+
+
+def _pix_basis(px, py, p):
+    """[6,P] pixel moment basis (1, x, y, x^2, xy, y^2) for the backward's
+    single-contraction moment sums (B.4.3). A [K,6]x[6,P] MXU evaluation of
+    the Mahalanobis form itself was measured SLOWER than the direct VPU
+    dx/dy path (contraction dim 6 wastes the 128-wide systolic array), so
+    the basis is only used where the contraction dim is P."""
+    one = jnp.ones((1, p), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, px * py, py * py], axis=0)
+
+
+def _prod_reduce(x):
+    """[K,P] -> [1,P] product over sublanes by halving (K a power of two)."""
+    k = x.shape[0]
+    while k > 1:
+        k //= 2
+        x = x[:k] * x[k : 2 * k]
+    return x
 
 
 def _chunk_alpha(data, px, py):
@@ -83,11 +104,11 @@ def _chunk_alpha(data, px, py):
     maha_raw = ca * dx * dx + cc * dy * dy + 2.0 * cb * dx * dy  # (F.6.1)
     maha = jnp.maximum(0.0, maha_raw)
     ap = jnp.minimum(ALPHA_CLAMP, alpha * jnp.exp(-0.5 * maha))  # (F.6.2)
-    return ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha)
+    return ap, (maha_raw, ux, uy, ca, cb, cc, alpha)
 
 
 def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
-                   last_ref, tail_ref,
+                   last_ref, tail_ref, live_ref,
                    packed_ref, img_ref, tau_ref, cont_ref,
                    img_s, tau_s, cont_s, sat_s, *, gx, tile, k):
     p = tile * tile
@@ -105,12 +126,17 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     lo = lo_ref[s]
     hi = hi_ref[s]
 
-    @pl.when((hi > lo) & (sat_s[0] == 0))
+    # live_ref == 0: segment lies wholly in the padding tail past the kept
+    # patch count — skip its compute (the budget's ~1.5x headroom otherwise
+    # costs real VPU time on alpha=0 rows)
+    @pl.when((hi > lo) & (sat_s[0] == 0) & (live_ref[s] == 1))
     def _():
         tau = tau_s[:]  # [1,P]
         data = packed_ref[:]  # [K,16] chunk block (resident across segments)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
-        in_seg = (sub >= lo) & (sub < hi)
+        # [K,1] row iota: the segment membership test is row-constant, so
+        # keep it narrow and let broadcasting pay only one [K,P] op
+        subc = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        in_seg = (subc >= lo) & (subc < hi)  # [K,1]
         ap, _ = _chunk_alpha(data, px, py)
         m1 = in_seg & (ap >= ALPHA_SKIP)
         one_m = jnp.where(m1, 1.0 - ap, 1.0)
@@ -122,10 +148,14 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             colc, wgt, (((0,), (0,)), ((), ())), precision=_HI,
             preferred_element_type=jnp.float32,
         )  # [3,P]
-        new_tau = tau * prod_all(jnp.where(contribute, 1.0 - ap, 1.0))[0:1, :]
+        # contribute-masked whole-segment product (must match what the
+        # backward's suffix-product replay divides out, B.2.1): a halving
+        # tree reduction costs ~K*P multiplies total, vs 7*K*P for the old
+        # circular doubling (Mosaic has no reduce-prod primitive)
+        new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
         tau_s[:] = new_tau
         sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
-        idx1 = pos_ref[s] + (sub - lo) + 1  # 1-based position in the tile list
+        idx1 = pos_ref[s] + (subc - lo) + 1  # 1-based position in the tile list
         cont_s[:] = jnp.maximum(
             cont_s[:], jnp.max(jnp.where(contribute, idx1, 0), axis=0, keepdims=True)
         )
@@ -139,7 +169,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
 
 
 def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
-                    last_ref, tail_ref, maxcont_ref,
+                    last_ref, tail_ref, live_ref, maxcont_ref,
                     packed_ref, g_ref, tau_ref, cont_ref, grads_ref,
                     tau_s, gag_s, *, gx, tile, k, q_total):
     p = tile * tile
@@ -147,6 +177,7 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     rs = q_total - 1 - i  # segments are visited back-to-front
     t = tile_ref[rs]
     px, py = _pixel_coords(t, gx, tile, p)
+    q = _pix_basis(px, py, p)
 
     # First visit of this tile (its last segment): load the final
     # transmittance (B.2.1 carry init), clear the color-gradient carry
@@ -173,18 +204,17 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     # it (B.2.3). The per-tile max count is precomputed outside (maxcont
     # prefetch) so the test stays scalar — no per-step vector->scalar
     # pipeline stall.
-    @pl.when((hi > lo) & (maxcont_ref[t] > pos))
+    @pl.when((hi > lo) & (maxcont_ref[t] > pos) & (live_ref[rs] == 1))
     def _():
         cont = cont_ref[0]  # [1,P] int32
         data = packed_ref[:]
         g = g_ref[0]  # [3,P] dL/dpixel for this tile
-        ap, (dx, dy, maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
+        ap, (maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
         subc = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        in_seg = (sub >= lo) & (sub < hi)
-        rowmask = (subc >= lo) & (subc < hi)  # [K,1]
-        idx0 = pos + (sub - lo)
-        m = in_seg & (idx0 < cont) & (ap >= ALPHA_SKIP)
+        rowmask = (subc >= lo) & (subc < hi)  # [K,1] (segment test is
+        # row-constant; broadcast against the per-pixel cont below)
+        idx0 = pos + (subc - lo)  # [K,1]
+        m = rowmask & (idx0 < cont) & (ap >= ALPHA_SKIP)
 
         one_m = jnp.where(m, 1.0 - ap, 1.0)
         sfx = suffix_prod_inclusive(one_m)  # [K,P] (B.2.1)
@@ -209,18 +239,30 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
         # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)
         dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
         unclamped = ap < ALPHA_CLAMP
-        e = jnp.exp(-0.5 * jnp.maximum(0.0, maha_raw))
-        dalpha = jnp.sum(jnp.where(m & unclamped, dap * e, 0.0), axis=1, keepdims=True)  # [K,1]
-        dm = jnp.where(m & unclamped & (maha_raw > 0.0), dap * (-0.5) * ap, 0.0)  # [K,P]
+        # e = exp(-maha/2) is recovered from ap = alpha*e (B.3.1) instead of
+        # a second [K,P] exp: dap*e = dap*ap/alpha, with the division hoisted
+        # outside the pixel sum (alpha is per-entry). m implies ap >= 0.002
+        # so alpha >= 0.002 and the guard never bites on live entries.
+        dap_ap = dap * ap
+        dalpha = jnp.sum(
+            jnp.where(m & unclamped, dap_ap, 0.0), axis=1, keepdims=True
+        ) / jnp.maximum(alpha, 1e-12)  # [K,1]
+        dm = jnp.where(m & unclamped & (maha_raw > 0.0), -0.5 * dap_ap, 0.0)  # [K,P]
 
-        # moment sums over pixels (B.4.3): six sublane reductions replace
-        # five more [K,P] materialisations
-        s0 = jnp.sum(dm, axis=1, keepdims=True)  # [K,1]
-        sx = jnp.sum(dm * px, axis=1, keepdims=True)
-        sy = jnp.sum(dm * py, axis=1, keepdims=True)
-        sxx = jnp.sum(dm * px * px, axis=1, keepdims=True)
-        sxy = jnp.sum(dm * px * py, axis=1, keepdims=True)
-        syy = jnp.sum(dm * py * py, axis=1, keepdims=True)
+        # moment sums over pixels (B.4.3) as ONE MXU contraction:
+        # dm[K,P] @ basis^T[P,6] -> all six moments at once (contraction
+        # dim P=256 uses the systolic array well; six separate lane
+        # reductions + five [K,P] multiplies were measured slower)
+        mom = jax.lax.dot_general(
+            dm, q, (((1,), (1,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # [K,6]: sum dm * {1, x, y, x^2, xy, y^2}
+        s0 = mom[:, 0:1]
+        sx = mom[:, 1:2]
+        sy = mom[:, 2:3]
+        sxx = mom[:, 3:4]
+        sxy = mom[:, 4:5]
+        syy = mom[:, 5:6]
         ex = ux * s0 - sx  # sum dm * dx (B.4.3)
         ey = uy * s0 - sy
         dux = 2.0 * ca * ex + 2.0 * cb * ey  # (B.4.4)

@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from easygaussiansplatting_tpu.ops.binning import segment_layout
 from easygaussiansplatting_tpu.ops.pallas.kernels import (
     GRAD_ROWS,
+    GRAD_USED,
     PACK_ROWS,
     backward_kernel,
     forward_kernel,
@@ -32,7 +33,7 @@ from easygaussiansplatting_tpu.ops.pallas.kernels import (
 
 _META_KEYS = (
     "seg_chunk", "seg_tile", "seg_lo", "seg_hi", "seg_pos",
-    "seg_first", "seg_last", "chunk_tail",
+    "seg_first", "seg_last", "chunk_tail", "seg_live",
 )
 
 
@@ -150,12 +151,16 @@ def _raster_table_bwd(dims, res, cotangents):
         packed, meta, g_img, tau, cont,
         n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
     )
-    rows_ct = jnp.where(live[None, :], grads16, 0.0)
+    rows_ct = jnp.where(live[None, :], grads16[:GRAD_USED], 0.0)
     # deterministic segment scatter-add onto the gaussian table (B.6.2) —
     # the reference's atomicAdd accumulation (gsplatcu/kernel.cu:924-945);
-    # performed in the compact [16, N] layout, transposed once at the end
-    dtable16 = jnp.zeros((PACK_ROWS, n), jnp.float32).at[:, gsafe].add(rows_ct)
-    return dtable16.T, None, None, {key: None for key in meta}
+    # only the 9 used rows (u, conic, alpha, color) move through the
+    # scatter; the table cotangent is zero-padded to PACK_ROWS after
+    dtable9 = jnp.zeros((GRAD_USED, n), jnp.float32).at[:, gsafe].add(rows_ct)
+    dtable = jnp.concatenate(
+        [dtable9, jnp.zeros((PACK_ROWS - GRAD_USED, n), jnp.float32)], axis=0
+    )
+    return dtable.T, None, None, {key: None for key in meta}
 
 
 _raster_table.defvjp(_raster_table_fwd, _raster_table_bwd)

@@ -34,9 +34,13 @@ def test_pallas_forward_matches_tiled(rng):
     args = _scene(rng)
     img_t, aux_t = render(*args, cam, **TILED)
     img_p, aux_p = render(*args, cam, **PALLAS)
-    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=1e-6)
+    # 3e-5: the pallas kernel evaluates the Mahalanobis form as an MXU
+    # quadratic-form expansion in tile-local coords (mathematically equal,
+    # different fp32 rounding than the tiled backend's direct dx/dy path);
+    # the golden-parity contract stays 1e-4
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=3e-5)
     np.testing.assert_array_equal(np.asarray(aux_p["contrib"]), np.asarray(aux_t["contrib"]))
-    np.testing.assert_allclose(np.asarray(aux_p["final_tau"]), np.asarray(aux_t["final_tau"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_p["final_tau"]), np.asarray(aux_t["final_tau"]), atol=3e-5)
 
 
 def test_pallas_gradients_match_tiled_ad(rng):
