@@ -26,7 +26,7 @@ def timeit(label, fn, *args, iters=5):
 
 
 def main(width=979, height=546, n_gaussians=65536, max_patches=786432,
-         max_rows=262144, k_chunk=256):
+         max_rows=262144, k_chunk=128):
     scene = make_synthetic_scene(seed=0, n_gaussians=n_gaussians, n_cams=1, width=width,
                                  height=height, log_scale_mean=-3.6)
     cam = scene["cameras"][0]
