@@ -162,6 +162,13 @@ def _run_multihost(args):
     bcam = put_batch(mesh, stack_cameras([scene["cameras"][i] for i in rows]))
     gt = put_batch(mesh, np.stack([gts[i] for i in rows]))
 
+    # establish the cross-process collective contexts with a fast-compiling
+    # program first: context rendezvous times out (~30 s) and the big step's
+    # compile skew between processes can exceed that on loaded hosts
+    import jax.numpy as jnp
+
+    jax.block_until_ready(jax.jit(jnp.sum)(gt))
+
     out = step(pool, adam, stats, bcam, gt)
     jax.block_until_ready(out)
     t0 = _time.perf_counter()

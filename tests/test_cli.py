@@ -64,3 +64,23 @@ def test_train_eval_viewer_cli_roundtrip(tmp_path, monkeypatch):
                       "--resume", str(out / "checkpoint.npz"),
                       "--out", str(out)], monkeypatch)
     assert (out / "final.npy").exists()
+
+
+def test_sh_demo_sphere_renderer():
+    """--serve scene parity: GT + degree-1/3/4/5 rotating spheres
+    (/root/reference/sh_demo.py:206-271), rendered as one jitted strip."""
+    import sh_demo as m
+
+    img = m.procedural_texture(32, 64)
+    coeffs, _ = m.fit_sh(img, 5)
+    render = m.make_sphere_renderer(img, coeffs, res=48)
+    f0 = np.asarray(render(0.0))
+    f1 = np.asarray(render(1.0))
+    assert f0.shape == (48, 48 * 5, 3)
+    assert not np.allclose(f0, f1)  # rotation moves the view
+    # corners lie outside every disc: background
+    np.testing.assert_allclose(f0[0, 0], 0.08, atol=1e-6)
+    # higher truncation degree reconstructs the GT pane better
+    panes = [f0[:, i * 48:(i + 1) * 48] for i in range(5)]
+    errs = [np.abs(p - panes[0]).mean() for p in panes[1:]]
+    assert errs[-1] < errs[0]
