@@ -62,6 +62,9 @@ def main():
     config = TrainConfig(
         epochs=args.epochs, backend="pallas" if jax.default_backend() == "tpu"
         else "tiled", max_patches=max_patches,
+        # fixed budget: the benchmark wants one compile, not an adaptive
+        # resize schedule (first compile over the tunnel is minutes)
+        adaptive_budget=False,
     )
     t_gt = time.time()
     gt_images = [np.asarray(im) for im in render_gt_images(scene, config)]
