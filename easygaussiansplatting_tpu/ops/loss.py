@@ -8,7 +8,7 @@ on the MXU — XLA's depthwise-convolution lowering costs ~10x more on TPU
 than the equivalent [H,H] / [W,W] band-matrix contraction.
 """
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,26 +23,32 @@ def _gaussian_window(window_size=11, sigma=1.5):
     return (g / g.sum()).astype(np.float32)
 
 
-@lru_cache(maxsize=None)
 def _blur_matrix(n, window_size=11, sigma=1.5):
     """[n,n] banded matrix B with B[i, i+o] = window[o + ws//2]; rows truncate
-    at the borders — exactly SAME zero-padded convolution."""
-    w = _gaussian_window(window_size, sigma)
+    at the borders — exactly SAME zero-padded convolution.
+
+    Built from iota ops, NOT a baked numpy literal: a dense [979,979]
+    constant serialises to ~8 MB of HLO text and the train step embeds ~16
+    copies (fwd/bwd/transposes) — 80 MB programs took the tunnel's compile
+    service tens of minutes. As ops it is a few lines of HLO; XLA folds it
+    on-device."""
+    w = _gaussian_window(window_size, sigma)  # 11 floats — tiny constant
     half = window_size // 2
-    b = np.zeros((n, n), np.float32)
-    idx = np.arange(n)
-    for j, v in enumerate(w):
-        off = j - half
-        rows = idx[(idx + off >= 0) & (idx + off < n)]
-        b[rows, rows + off] = v
-    return b
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = j - i  # band offset in [-half, half]
+    return jnp.where(
+        jnp.abs(d) <= half,
+        jnp.take(jnp.asarray(w), jnp.clip(d + half, 0, window_size - 1)),
+        0.0,
+    )
 
 
 def _depthwise_blur(img, window):
     """Separable depthwise SAME blur via band-matrix matmuls. img: [C,H,W]."""
     ws = window.shape[0]
-    bh = jnp.asarray(_blur_matrix(img.shape[1], ws))
-    bw = jnp.asarray(_blur_matrix(img.shape[2], ws))
+    bh = _blur_matrix(img.shape[1], ws)
+    bw = _blur_matrix(img.shape[2], ws)
     x = jnp.einsum("hk,ckw->chw", bh, img, precision=_HI)
     return jnp.einsum("chk,wk->chw", x, bw, precision=_HI)
 
