@@ -18,6 +18,22 @@ Layer map (TPU-native equivalents of the reference layers, SURVEY.md §1):
   (new) shard  -> parallel/         (mesh/pjit/shard_map; reference has none, SURVEY §2.9)
 """
 
+import os as _os
+
 from easygaussiansplatting_tpu.version import __version__
 
 __all__ = ["__version__"]
+
+# Persistent XLA compilation cache (repo-local, gitignored): first compiles
+# of the raster pipeline over tunneled backends run minutes — re-runs of
+# benches/tests/training with unchanged programs should not pay that twice.
+# Opt out with EGS_NO_COMPILE_CACHE=1.
+if _os.environ.get("EGS_NO_COMPILE_CACHE") != "1":
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      ".jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

@@ -67,7 +67,9 @@ def main():
         adaptive_budget=False,
     )
     t_gt = time.time()
-    gt_images = [np.asarray(im) for im in render_gt_images(scene, config)]
+    # keep GT on the device: materialising to numpy would round-trip ~640 MB
+    # of frames through the tunnel (minutes each way at ~4 MB/s)
+    gt_images = [jax.block_until_ready(im) for im in render_gt_images(scene, config)]
     print(f"rendered {n_cams} GT views in {time.time() - t_gt:.1f}s", flush=True)
 
     # SfM-like init from the ground truth: subsample + jitter positions,
