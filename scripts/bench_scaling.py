@@ -183,7 +183,7 @@ def _run_multihost(args):
               flush=True)
         print(json.dumps({
             "metric": "multihost_pixels_per_s",
-            "value": round(pix_s / 1e6, 3),
+            "value": round(pix_s / 1e6, 6),
             "unit": f"Mpix/s over {jax.process_count()} hosts",
             "vs_baseline": 0.0,
         }))
