@@ -77,11 +77,21 @@ def main():
         pool, scene["cameras"], gts, config, scene["scene_size"], mesh,
         batch=2, seed=0, log_fn=lambda *a: None, eval_every=100,
     )
+    # checkpoint-path check: fetch_to_host must be collective-free (only
+    # process 0 calls it — a hidden collective would deadlock here) and give
+    # every process-0 byte of the full pool
+    checksum = None
+    if single or jax.process_index() == 0:
+        from easygaussiansplatting_tpu.parallel.distributed import fetch_to_host
+
+        host_pool = fetch_to_host(pool)
+        checksum = float(np.sum(np.abs(host_pool.pws)) + np.sum(host_pool.alive))
     print(json.dumps({
         "process": pid,
         "loss": history["loss"][-1],
         "losses": history["loss"],
         "n_alive": history["n_alive"][-1],
+        "checksum": checksum,
     }), flush=True)
 
 

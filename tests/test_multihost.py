@@ -66,3 +66,7 @@ def test_two_process_training_matches_single():
     # (same mesh shape, same batches; only collective scheduling differs)
     np.testing.assert_allclose(r0["losses"], rs["losses"], atol=1e-5)
     assert r0["n_alive"] == rs["n_alive"]
+    # collective-free checkpoint fetch on process 0 only (would deadlock if
+    # fetch_to_host hid a collective) reproduces the single-process pool
+    assert r0["checksum"] is not None and r1["checksum"] is None
+    np.testing.assert_allclose(r0["checksum"], rs["checksum"], rtol=1e-5)
