@@ -79,9 +79,12 @@ def _propagate(starts, values, budget):
     return _scan1(_propagate_marks(starts, values, budget))
 
 
+ALPHA_SKIP = 0.002  # blend skip threshold (parity: kernels.py / kernel.cu)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "tile", "max_patches", "max_rows"))
 def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_patches,
-                  max_rows=None):
+                  max_rows=None, cinv2ds=None, alphas=None):
     """Build the per-tile draw lists.
 
     Patch expansion is two-level (gaussian -> covered tile-rows -> covered
@@ -89,13 +92,31 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     expansion is scatters, cumulative sums, and elementwise math: no integer
     divide/modulo and no large random gathers, the two ops TPUs punish.
 
+    **Ellipse row culling** (pass `cinv2ds` [N,3] conics + `alphas` [N]):
+    each tile-row's x-extent is clipped to the alpha' >= ALPHA_SKIP ellipse
+    (sigma <= 2 ln(alpha/0.002)) intersected with the reference's 3-sigma
+    AABB. Every dropped tile is one where NO pixel can pass the blend skip
+    test, so images and gradients are exactly what the AABB candidate set
+    produces — but the patch count (and with it the sort, the gradient
+    scatter, and the kernels' per-patch work) shrinks wherever splats span
+    multiple tiles: measured ~7% on the small-splat bench scene (1-2 tiles
+    per splat — AABB is near-tight at tile granularity) and 20-40% on
+    large/anisotropic splats (early training, SfM init, close-ups). Also
+    culls alpha <= 0.002 gaussians outright. Without conics the extent test
+    degenerates to the plain AABB (r^2 = inf). [The reference bins the full
+    AABB, getRects kernel.cu:82-122, and pays for the corners in draw.]
+
     Returns dict:
       patch_gsid  [max_patches] int32 — original Gaussian index per patch,
                   sorted by (tile, depth); padding slots hold -1.
       tile_start  [T] int32, tile_cnt [T] int32 — per-tile ranges.
-      total       int32 — true number of patches (before capping).
-      n_dropped   int32 — patches beyond capacity (0 in healthy runs).
-      total_rows  int32 — covered tile-rows (drives the max_rows budget).
+      total       int32 — patch count of the materialised rows after
+                  ellipse culling, before the patch-budget cap.
+      n_dropped   int32 — patches beyond the patch budget (0 in healthy
+                  runs). Row-budget losses show as total_rows > max_rows
+                  (their per-row ellipse extents are never materialised, so
+                  they cannot be counted in patches).
+      total_rows  int32 — AABB-covered tile-rows (drives max_rows).
 
     `max_rows` bounds the intermediate tile-row expansion (rows <= patches
     always, and typically ~patches / mean-splat-width): the level-2 scatter
@@ -110,6 +131,11 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     n = us.shape[0]
     gx, gy = num_tiles(width, height, tile)
     n_tiles = gx * gy
+    f32 = jnp.float32 if us.dtype != jnp.float64 else jnp.float64
+
+    if alphas is not None:
+        # alpha <= skip: no pixel anywhere can blend — cull the gaussian
+        valid = valid & (jax.lax.stop_gradient(alphas) > ALPHA_SKIP)
 
     # Depth-sort the gaussians (invalid ones to the back). sort_key_val runs
     # ~10x faster than a stable argsort; depth ties order arbitrarily but
@@ -126,35 +152,79 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     valid_s = valid[order]
 
     x0, y0, x1, y1 = rects_s[:, 0], rects_s[:, 1], rects_s[:, 2], rects_s[:, 3]
-    w = jnp.where(valid_s, x1 - x0, 0).astype(jnp.int32)
+
+    # Per-gaussian attribute table for the per-row extent test (gathered by
+    # the propagated row_ord below): mean, conic, skip-ellipse radius^2,
+    # AABB x-range. r2 = inf (no conic) makes the test a no-op AABB clip.
+    usg = jax.lax.stop_gradient(us).astype(f32)
+    if cinv2ds is not None:
+        cg = jax.lax.stop_gradient(cinv2ds).astype(f32)
+        ag = jnp.maximum(jax.lax.stop_gradient(alphas).astype(f32), 1e-12)
+        # margin keeps decisions strictly conservative vs the kernels' own
+        # fp32 alpha' >= 0.002 test
+        r2 = 2.0 * jnp.log(ag / ALPHA_SKIP) * (1.0 + 1e-5) + 1e-4
+        r2 = jnp.maximum(r2, 0.0)
+    else:
+        cg = jnp.tile(jnp.asarray([[1.0, 0.0, 1.0]], f32), (n, 1))
+        r2 = jnp.full((n,), jnp.inf, f32)
+    gtab = jnp.concatenate(
+        [usg, cg, r2[:, None],
+         rects[:, 0:1].astype(f32), rects[:, 2:3].astype(f32)], axis=1
+    )  # [N, 8]: ux uy A B C r2 x0 x1  (ORIGINAL gaussian order)
 
     # Level 1: one slot per covered tile-row of each gaussian. Row slot j of
-    # gaussian i covers tile-row y0[i] + (j - rstart[i]), so the per-slot
-    # quantity c1 = (y0 - rstart) * gx + x0 is segment-constant. Each
-    # propagation stays a flat [max_patches] array — batching them as a
-    # [max_patches, k] minor axis pads k up to the 128-lane tile and wastes
-    # ~40x the scan bandwidth (measured slower).
+    # gaussian i covers tile-row y0[i] + (j - rstart[i]), so ty0 = y0 -
+    # rstart is segment-constant. Each propagation stays a flat array —
+    # batching along a minor axis pads to the 128-lane tile (measured 40x
+    # scan-bandwidth waste).
     row_counts = jnp.where(valid_s, y1 - y0, 0).astype(jnp.int32)
     rcum = jnp.cumsum(row_counts)
     rstart = rcum - row_counts
     total_rows = rcum[-1]
     mr = jnp.arange(max_rows, dtype=jnp.int32)
     rows_ok = mr < jnp.minimum(total_rows, max_rows)
-    c1, row_w_raw, row_ord = batched_cumsum([
-        _propagate_marks(rstart, (y0 - rstart) * gx + x0, max_rows),
-        _propagate_marks(rstart, w, max_rows),
+    ty0_prop, row_ord = batched_cumsum([
+        _propagate_marks(rstart, y0 - rstart, max_rows),
         _propagate_marks(rstart, order, max_rows),
     ])
+    row_ty = ty0_prop + mr  # tile-row of each row slot
+    row_gs = jnp.clip(row_ord, 0, n - 1)
+
+    # Per-row ellipse x-extent (one 32B-row gather + a few flops per row).
+    # For pixel rows dy in [dy0, dy1] the ellipse A dx^2 + 2B dx dy + C dy^2
+    # <= r2 has dx in [xc - sr, xc + sr] with xc = -B dy / A and
+    # sr = sqrt(A r2 - det dy^2) / A; bounding xc and sr independently over
+    # the interval is conservative.
+    g = jnp.take(gtab, row_gs, axis=0)  # [max_rows, 8]
+    ux, uy, ca, cb, cc = g[:, 0], g[:, 1], g[:, 2], g[:, 3], g[:, 4]
+    r2r, rx0_aabb, rx1_aabb = g[:, 5], g[:, 6], g[:, 7]
+    ftile = jnp.asarray(tile, f32)
+    dy0 = row_ty.astype(f32) * ftile - uy
+    dy1 = dy0 + (ftile - 1.0)
+    det = jnp.maximum(ca * cc - cb * cb, 1e-12)
+    ca_safe = jnp.maximum(ca, 1e-12)
+    dy_min2 = jnp.where(dy0 * dy1 > 0, jnp.minimum(dy0 * dy0, dy1 * dy1), 0.0)
+    disc = ca * r2r - det * dy_min2
+    sr = jnp.sqrt(jnp.maximum(disc, 0.0)) / ca_safe
+    xc0 = -cb * dy0 / ca_safe
+    xc1 = -cb * dy1 / ca_safe
+    # half-pixel fp margin on both sides
+    x_lo = ux + jnp.minimum(xc0, xc1) - sr - 0.5
+    x_hi = ux + jnp.maximum(xc0, xc1) + sr + 0.5
+    ex0 = jnp.clip(jnp.floor(x_lo / ftile), rx0_aabb, rx1_aabb)
+    ex1 = jnp.clip(jnp.floor(x_hi / ftile) + 1.0, ex0, rx1_aabb)
+    rx0 = ex0.astype(jnp.int32)
+    row_w_raw = jnp.where(disc >= 0, (ex1 - ex0).astype(jnp.int32), 0)
     row_w = jnp.where(rows_ok, row_w_raw, 0)
 
     # Level 2: one slot per covered tile of each row. Patch slot m of row j
-    # is tile (row_ty * gx + x0) + (m - start2[j]), so
-    # base = c1 + j * gx - start2 is again segment-constant.
+    # is tile (row_ty * gx + rx0) + (m - start2[j]), so
+    # base = row_ty * gx + rx0 - start2 is again segment-constant per row.
     wcum = _scan1(row_w)
-    total = jnp.sum(jnp.where(valid_s, w * (y1 - y0), 0))  # true pre-cap count
-    kept = jnp.minimum(wcum[-1], max_patches)               # after both budgets
+    total = wcum[-1]  # true (post-cull) patch count before the budget cap
+    kept = jnp.minimum(total, max_patches)
     start2 = wcum - row_w
-    base = c1 + mr * gx - start2
+    base = row_ty * gx + rx0 - start2
     m = jnp.arange(max_patches, dtype=jnp.int32)
     in_range = m < kept
     prop_base, prop_ord = batched_cumsum([

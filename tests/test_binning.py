@@ -90,7 +90,9 @@ def test_row_budget_drops_deepest(rng):
         jnp.asarray(areas, jnp.float32), jnp.asarray(valid),
         width=width, height=height, max_patches=4096, max_rows=rows // 2,
     )
-    assert int(capped["n_dropped"]) > 0
+    # the row budget bit: un-materialised rows show via total_rows (their
+    # patch counts are unknowable once ellipse culling sizes rows lazily)
+    assert int(capped["total_rows"]) > rows // 2
     kept = np.asarray(capped["patch_gsid"])
     kept = kept[kept >= 0]
     # kept patches are a depth-prefix: all from the shallowest gaussians
@@ -106,3 +108,49 @@ def test_row_budget_drops_deepest(rng):
         width=width, height=height, max_patches=4096, max_rows=((rows + 127)//128)*128,
     )
     np.testing.assert_array_equal(np.asarray(same["patch_gsid"]), np.asarray(full["patch_gsid"]))
+
+
+def test_ellipse_culling_shrinks_but_preserves_image(rng):
+    """Skip-ellipse row culling must drop patches (anisotropic splats leave
+    AABB corners empty) yet leave the rendered image EXACTLY as the AABB
+    candidate set produces — dropped tiles contain no pixel with
+    alpha' >= ALPHA_SKIP, which the blend skips anyway."""
+    import jax
+
+    from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene
+    from easygaussiansplatting_tpu.ops import stages
+
+    width, height = 96, 80
+    scene = make_synthetic_scene(seed=11, n_gaussians=256, n_cams=1,
+                                 width=width, height=height, log_scale_mean=-1.2)
+    cam = scene["cameras"][0]
+    shs = np.zeros((256, 48), np.float32)
+    shs[:, :3] = scene["shs"]
+    aux = stages.preprocess(
+        jnp.asarray(scene["pws"], jnp.float32), jnp.asarray(shs),
+        jnp.asarray(scene["alphas"], jnp.float32),
+        jnp.asarray(scene["scales"], jnp.float32),
+        jnp.asarray(scene["rots"], jnp.float32), cam)
+
+    kw = dict(width=width, height=height, max_patches=2**13)
+    aabb = binning.bin_gaussians(
+        aux["us"], aux["depths"], aux["areas"], aux["valid"], **kw)
+    culled = binning.bin_gaussians(
+        aux["us"], aux["depths"], aux["areas"], aux["valid"],
+        cinv2ds=aux["cinv2ds"], alphas=aux["alphas"], **kw)
+    n_aabb, n_cull = int(aabb["total"]), int(culled["total"])
+    assert n_cull < n_aabb, (n_cull, n_aabb)
+    # every culled-away candidate is invisible: the two candidate sets give
+    # the same blend, to fp-identical pixels
+    from easygaussiansplatting_tpu.ops.rasterize_tiled import rasterize_tiled
+
+    img_a, _ = rasterize_tiled(
+        aux["us"], aux["cinv2ds"], aux["alphas"], aux["colors"],
+        aabb["patch_gsid"], aabb["tile_start"], aabb["tile_cnt"],
+        width=width, height=height, tile=16, k_chunk=64, n_chunks=16)
+
+    img_c, _ = rasterize_tiled(
+        aux["us"], aux["cinv2ds"], aux["alphas"], aux["colors"],
+        culled["patch_gsid"], culled["tile_start"], culled["tile_cnt"],
+        width=width, height=height, tile=16, k_chunk=64, n_chunks=16)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_a), atol=1e-6)
