@@ -122,7 +122,7 @@ class SceneRenderer:
 
     def render(self, *, azimuth=0.0, elevation=0.3, radius=None, center=None,
                width=640, height=480, mode="normal", markers=False, cloud=False,
-               fov_f=0.9):
+               axes=False, grid=False, fov_f=0.9):
         """Render one view; returns [H,W,3] uint8."""
         import jax
 
@@ -156,7 +156,44 @@ class SceneRenderer:
             fn = self._render_fn(width, height)
             img = fn(a["pws"], a["shs"], a["alphas"], a["scales"], a["rots"], cam)
             img = np.asarray(jax.block_until_ready(img))
-        return (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
+        out = (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
+        if axes or grid:
+            out = self._draw_overlays(out, cam, axes=axes, grid=grid)
+        return out
+
+    def _draw_overlays(self, img_u8, cam, *, axes=False, grid=False):
+        """World-space axis / ground-grid line overlays, projected with the
+        render camera and drawn on the frame — the counterpart of the
+        reference viewer's GLAxisItem / GridItem
+        (/root/reference/viewer/custom_items/{axis,grid}_item.py)."""
+        from PIL import Image, ImageDraw
+
+        im = Image.fromarray(img_u8)
+        d = ImageDraw.Draw(im)
+        R = np.asarray(cam.Rcw, np.float64)
+        t = np.asarray(cam.tcw, np.float64)
+        fx, fy = float(cam.fx), float(cam.fy)
+        cx, cy = float(cam.cx), float(cam.cy)
+
+        def draw(p0, p1, color, w=1):
+            a = R @ np.asarray(p0, np.float64) + t
+            b = R @ np.asarray(p1, np.float64) + t
+            if a[2] < 0.2 or b[2] < 0.2:  # either end behind the camera
+                return
+            ua = (a[0] * fx / a[2] + cx, a[1] * fy / a[2] + cy)
+            ub = (b[0] * fx / b[2] + cx, b[1] * fy / b[2] + cy)
+            d.line([ua, ub], fill=color, width=w)
+
+        s = max(1.0, round(self.radius / 2.5))
+        if grid:
+            for i in np.arange(-s, s + 0.5):
+                draw((i, -s, 0), (i, s, 0), (90, 90, 90))
+                draw((-s, i, 0), (s, i, 0), (90, 90, 90))
+        if axes:
+            draw((0, 0, 0), (s, 0, 0), (235, 70, 70), 2)   # +x red
+            draw((0, 0, 0), (0, s, 0), (70, 235, 70), 2)   # +y green
+            draw((0, 0, 0), (0, 0, s), (90, 90, 245), 2)   # +z blue
+        return np.asarray(im)
 
     def info(self):
         return {
@@ -217,6 +254,8 @@ def make_handler(renderer):
                         mode=q.get("mode", "normal"),
                         markers=q.get("markers", "0") == "1",
                         cloud=q.get("cloud", "0") == "1",
+                        axes=q.get("axes", "0") == "1",
+                        grid=q.get("grid", "0") == "1",
                         fov_f=float(q.get("fov", 0.9)),
                     )
                     body, ctype = _encode(img, q.get("fmt", "jpeg"))

@@ -111,3 +111,12 @@ def test_bad_route_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server_url + "/nope")
     assert ei.value.code == 404
+
+
+def test_axis_grid_overlays(renderer):
+    kw = dict(azimuth=0.7, elevation=0.3, width=64, height=48)
+    plain = renderer.render(**kw)
+    with_axes = renderer.render(axes=True, **kw)
+    with_grid = renderer.render(grid=True, **kw)
+    assert not np.array_equal(plain, with_axes)
+    assert not np.array_equal(plain, with_grid)
