@@ -16,8 +16,13 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["Rcw", "tcw", "fx", "fy", "cx", "cy"],
-    meta_fields=["width", "height", "id"],
+    # `id` is a DATA field (a pytree leaf) although it is plain metadata:
+    # as static aux data every distinct camera id would be a distinct jit
+    # signature, and a training loop cycling 100 dataset cameras through
+    # one step re-traced per camera — measured 1193 ms/step vs 73 ms.
+    # Nothing computes on it, so a (possibly traced) scalar leaf is free.
+    data_fields=["Rcw", "tcw", "fx", "fy", "cx", "cy", "id"],
+    meta_fields=["width", "height"],
 )
 @dataclasses.dataclass(frozen=True)
 class Camera:
