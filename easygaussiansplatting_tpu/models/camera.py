@@ -46,14 +46,19 @@ class Camera:
         return -np.swapaxes(self.Rcw, -1, -2) @ self.tcw
 
     @staticmethod
-    def from_dict(d, dtype=jnp.float32):
+    def from_dict(d, dtype=None):
+        # host (numpy) leaves: constructing a camera must not touch the
+        # device — over tunneled backends each tiny device_put costs real
+        # latency and a 100-camera dataset did ~600 of them. jit uploads
+        # the ~100 bytes at call time.
+        dtype = np.float32 if dtype is None else dtype
         return Camera(
-            Rcw=jnp.asarray(d["Rcw"], dtype),
-            tcw=jnp.asarray(d["tcw"], dtype),
-            fx=jnp.asarray(d["fx"], dtype),
-            fy=jnp.asarray(d["fy"], dtype),
-            cx=jnp.asarray(d["cx"], dtype),
-            cy=jnp.asarray(d["cy"], dtype),
+            Rcw=np.asarray(d["Rcw"], dtype),
+            tcw=np.asarray(d["tcw"], dtype),
+            fx=np.asarray(d["fx"], dtype),
+            fy=np.asarray(d["fy"], dtype),
+            cx=np.asarray(d["cx"], dtype),
+            cy=np.asarray(d["cy"], dtype),
             width=int(d["width"]),
             height=int(d["height"]),
             id=int(d.get("id", 0)),
