@@ -12,6 +12,7 @@ from collections import defaultdict
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from easygaussiansplatting_tpu.parallel.distributed import (
     process_batch_rows,
@@ -85,7 +86,14 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
     pool, adam_state, stats = to_mesh(pool, adam_state, stats)
     # rows of each global batch this process feeds (all of them single-host)
     my_rows = process_batch_rows(mesh, batch) if multihost else list(range(batch))
-    gt_np = [np.asarray(im, np.float32) for im in gt_images]
+    if multihost:
+        # per-process local slices must be host data for put_batch
+        gt_store = [np.asarray(im, np.float32) for im in gt_images]
+    else:
+        # keep every frame device-resident: re-uploading B frames per step
+        # costs seconds over tunneled links; the per-step stack then runs
+        # device-to-device
+        gt_store = [jnp.asarray(im, jnp.float32) for im in gt_images]
 
     history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": []}
     for epoch in range(start_epoch, config.epochs):
@@ -94,7 +102,13 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
         for idxs in _epoch_batches(buckets, batch, rng):
             local = [idxs[r] for r in my_rows]
             bcam = put_batch(mesh, stack_cameras([cameras[i] for i in local]))
-            gt = put_batch(mesh, np.stack([gt_np[i] for i in local]))
+            if multihost:
+                gt = put_batch(mesh, np.stack([gt_store[i] for i in local]))
+            else:
+                gt = jax.device_put(
+                    jnp.stack([gt_store[i] for i in local]),
+                    jax.sharding.NamedSharding(mesh, P("data")),
+                )
             pool, adam_state, stats, loss = step(pool, adam_state, stats, bcam, gt)
             losses.append(loss)
         avg_loss = float(jnp.mean(jnp.stack(losses)))
@@ -123,7 +137,7 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
         history["n_alive"].append(int(pool.n_alive()))
         if e % eval_every == 0 or e == config.epochs:
             img = render_fn(pool, cameras[0])
-            p = float(psnr(jnp.clip(img, 0, 1), jnp.clip(jnp.asarray(gt_np[0]), 0, 1)))
+            p = float(psnr(jnp.clip(img, 0, 1), jnp.clip(jnp.asarray(gt_store[0]), 0, 1)))
             history["psnr"].append((e, p))
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} psnr={p:.2f} "
                    f"alive={history['n_alive'][-1]} ({history['epoch_time'][-1]:.1f}s)")
