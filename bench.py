@@ -81,7 +81,10 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = step(params, gt)
-    jax.block_until_ready((loss, grads))
+    # device->host read, NOT block_until_ready: the tunneled backend's
+    # block_until_ready has been observed to return before the enqueued
+    # steps finish (absurd Mpix/s); a value read cannot lie
+    _ = float(loss)
     dt = time.perf_counter() - t0
 
     mpix_s = width * height * iters / dt / 1e6

@@ -27,7 +27,8 @@ def timeit(label, fn, *args, iters=10):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # a value read: the tunneled backend's block_until_ready can return early
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
     dt = (time.perf_counter() - t0) / iters
     print(f"{label:42s} {dt*1e3:9.3f} ms", flush=True)
     return out
