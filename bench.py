@@ -78,14 +78,18 @@ def main():
     jax.block_until_ready((loss, grads))
 
     iters = 10 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = step(params, gt)
-    # device->host read, NOT block_until_ready: the tunneled backend's
-    # block_until_ready has been observed to return before the enqueued
-    # steps finish (absurd Mpix/s); a value read cannot lie
-    _ = float(loss)
-    dt = time.perf_counter() - t0
+    trials = 3 if on_tpu else 1
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss, grads = step(params, gt)
+        # device->host read, NOT block_until_ready: the tunneled backend's
+        # block_until_ready has been observed to return before the enqueued
+        # steps finish (absurd Mpix/s); a value read cannot lie
+        _ = float(loss)
+        best = min(best, time.perf_counter() - t0)
+    dt = best  # best-of-trials: robust to transient tunnel-latency spikes
 
     mpix_s = width * height * iters / dt / 1e6
     print(
