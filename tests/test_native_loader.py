@@ -114,3 +114,23 @@ def test_stale_so_not_loaded(tmp_path, monkeypatch):
 
     os.utime(so, (0, 0))  # so far older than src
     assert not native_loader._fresh(so)
+
+
+def test_corrupt_images_and_cameras_rejected(tmp_path):
+    """Bogus counts / truncated records in images.bin and cameras.bin fail
+    cleanly (count_plausible + malloc checks in colmap_reader.cc)."""
+    p = tmp_path / "images.bin"
+    p.write_bytes((1 << 50).to_bytes(8, "little"))
+    with pytest.raises(IOError):
+        native_loader.read_images_binary(p)
+    p.write_bytes((3).to_bytes(8, "little") + b"\x00" * 30)  # truncated
+    with pytest.raises(IOError):
+        native_loader.read_images_binary(p)
+
+    c = tmp_path / "cameras.bin"
+    c.write_bytes((1 << 50).to_bytes(8, "little"))
+    with pytest.raises(IOError):
+        native_loader.read_cameras_binary(c)
+    c.write_bytes((2).to_bytes(8, "little") + b"\x00" * 20)
+    with pytest.raises(IOError):
+        native_loader.read_cameras_binary(c)
