@@ -73,25 +73,42 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, grads
 
+    @jax.jit
+    def fwd_step(params):
+        image, _ = render(
+            *params, cam, backend=backend, tile=16,
+            max_patches=max_patches, max_rows=max_rows, k_chunk=128,
+        )
+        return jnp.mean(image)  # tiny reduction: one scalar to read back
+
     # warmup / compile
     loss, grads = step(params, gt)
     jax.block_until_ready((loss, grads))
+    jax.block_until_ready(fwd_step(params))
 
     iters = 10 if on_tpu else 3
     trials = 3 if on_tpu else 1
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            loss, grads = step(params, gt)
-        # device->host read, NOT block_until_ready: the tunneled backend's
-        # block_until_ready has been observed to return before the enqueued
-        # steps finish (absurd Mpix/s); a value read cannot lie
-        _ = float(loss)
-        best = min(best, time.perf_counter() - t0)
-    dt = best  # best-of-trials: robust to transient tunnel-latency spikes
+
+    def timeit(fn, read):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = fn()
+            # device->host read, NOT block_until_ready: the tunneled
+            # backend's block_until_ready has been observed to return before
+            # the enqueued steps finish (absurd Mpix/s); a value read
+            # cannot lie
+            _ = read(out)
+            best = min(best, time.perf_counter() - t0)
+        return best  # best-of-trials: robust to tunnel-latency spikes
+
+    dt = timeit(lambda: step(params, gt), lambda o: float(o[0]))
+    dt_fwd = timeit(lambda: fwd_step(params), float)
 
     mpix_s = width * height * iters / dt / 1e6
+    fwd_mpix_s = width * height * iters / dt_fwd / 1e6
     print(
         json.dumps(
             {
@@ -99,6 +116,8 @@ def main():
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_ANCHOR_MPIX_S, 3),
+                # inference-path (viewer/eval) guard: forward-only render
+                "fwd_throughput": round(fwd_mpix_s, 3),
             }
         )
     )

@@ -28,14 +28,26 @@ def _fresh(so: Path) -> bool:
 def _find_lib():
     repo_so = Path(__file__).resolve().parents[2] / "native" / "libegs_native.so"
     src = repo_so.with_name("colmap_reader.cc")
-    if src.is_file() and (not repo_so.is_file() or not _fresh(repo_so)):
-        # (re)build in place; never load a stale binary
+    if (src.is_file() and (not repo_so.is_file() or not _fresh(repo_so))
+            and not os.environ.get("EGS_NO_AUTO_BUILD")):
+        # (re)build in place; never load a stale binary. Auto-rebuild is a
+        # convenience for source checkouts — EGS_NO_AUTO_BUILD=1 keeps
+        # library lookup side-effect free, and a failed build is warned
+        # about (not swallowed) so a broken toolchain is visible.
         import subprocess
+        import warnings
 
-        subprocess.run(
+        proc = subprocess.run(
             ["make", "-C", str(repo_so.parent)],
-            capture_output=True, check=False,
+            capture_output=True, check=False, text=True,
         )
+        if proc.returncode != 0:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+            warnings.warn(
+                "native colmap reader build failed (falling back to the "
+                "pure-Python parser; set EGS_NO_AUTO_BUILD=1 to silence): "
+                + " | ".join(tail)
+            )
     cands = [repo_so, Path(os.environ.get("EGS_NATIVE_LIB", ""))]
     for c in cands:
         if c and c.is_file() and _fresh(c):

@@ -113,9 +113,11 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
       total       int32 — patch count of the materialised rows after
                   ellipse culling, before the patch-budget cap.
       n_dropped   int32 — patches beyond the patch budget (0 in healthy
-                  runs). Row-budget losses show as total_rows > max_rows
-                  (their per-row ellipse extents are never materialised, so
-                  they cannot be counted in patches).
+                  runs).
+      rows_dropped int32 — tile-rows beyond the row budget (their per-row
+                  ellipse extents are never materialised, so their patches
+                  cannot be counted in n_dropped — any nonzero value means
+                  deepest rows were lost).
       total_rows  int32 — AABB-covered tile-rows (drives max_rows).
 
     `max_rows` bounds the intermediate tile-row expansion (rows <= patches
@@ -134,8 +136,11 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     f32 = jnp.float32 if us.dtype != jnp.float64 else jnp.float64
 
     if alphas is not None:
-        # alpha <= skip: no pixel anywhere can blend — cull the gaussian
-        valid = valid & (jax.lax.stop_gradient(alphas) > ALPHA_SKIP)
+        # alpha < skip: no pixel anywhere can blend (the kernels test
+        # ap >= ALPHA_SKIP and ap <= alpha, so alpha == ALPHA_SKIP can still
+        # contribute at the exact centre pixel — keep the cull strictly
+        # conservative with >=)
+        valid = valid & (jax.lax.stop_gradient(alphas) >= ALPHA_SKIP)
 
     # Depth-sort the gaussians (invalid ones to the back). sort_key_val runs
     # ~10x faster than a stable argsort; depth ties order arbitrarily but
@@ -264,6 +269,10 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         "total": total,
         "n_dropped": total - kept,
         "total_rows": total_rows,
+        # rows past the row budget are dropped before their patches can be
+        # counted, so they never show in n_dropped — report them separately
+        # (the trainer folds both into its overflow signal)
+        "rows_dropped": total_rows - jnp.minimum(total_rows, max_rows),
     }
 
 

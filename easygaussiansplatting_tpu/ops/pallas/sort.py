@@ -1,0 +1,208 @@
+"""Bitonic merge sort as Pallas TPU kernels.
+
+TPU-native replacement for the reference's global key sort
+(thrust::sort_by_key, /root/reference/gsplatcu/gausplat.cu:82). XLA's
+variadic sort lowers to a scalar comparator loop costing ~7 ns/key on v5e —
+latency-bound ~100x over byte cost (BASELINE.md "Where the real gap is").
+A bitonic network is pure roll + compare + select at full VPU width, which
+is exactly what the hardware is good at:
+
+* the flat [M] array (M a power of two) is viewed as [M/128, 128] blocks of
+  `block` elements; flat index = sublane * 128 + lane, so a compare-exchange
+  at distance d is a sublane roll (d >= 128) or an in-row lane roll
+  (d < 128) plus selects — no scalar loop anywhere;
+* each block is bitonic-sorted locally in VMEM (one kernel, all
+  seq <= block stages unrolled); merge rounds then alternate cross-block
+  stages (partner block loaded via a second BlockSpec on the same operand,
+  each program writing only its own block — race-free on the sequential TPU
+  grid) with a single in-VMEM tail call for the remaining d < block stages;
+* direction bits come from the *global* flat iota, so block programs need no
+  special casing — (i & seq) == 0 is ascending, exactly textbook bitonic;
+* payload columns ride through the same selects (any mix of int32/float32),
+  so sort_pairs doubles as the gradient-reduction permutation engine — the
+  deterministic replacement for atomicAdd scatter (kernel.cu:924-945) when
+  combined with a segmented sum over the sorted keys.
+
+Not stable: callers needing stability must make keys unique (binning packs
+(tile, slot) into one int32 key for exactly this reason).
+"""
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _flat_iota(sub, block_offset):
+    """Global flat index of each element of a [sub, 128] block."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
+    return block_offset + s * LANES + l
+
+
+def _partner(x, j):
+    """x[i ^ j] for all i of a [sub, 128] block (j < block size)."""
+    if j >= LANES:
+        up = jnp.roll(x, j // LANES, axis=0)
+        dn = jnp.roll(x, -(j // LANES), axis=0)
+    else:
+        up = jnp.roll(x, j, axis=1)
+        dn = jnp.roll(x, -j, axis=1)
+    # i & j == 0 -> partner is at i + j (the "down"/forward roll source)
+    s = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    flat = s * LANES + l
+    return jnp.where((flat & j) == 0, dn, up)
+
+
+def _stage(gflat, keys, vals, j, k):
+    """One bitonic compare-exchange stage at distance j inside sequences of
+    length k, on one [sub, 128] block (j < block)."""
+    pk = _partner(keys, j)
+    is_lower = (gflat & j) == 0
+    asc = (gflat & k) == 0
+    want_min = is_lower == asc
+    take = jnp.where(want_min, pk < keys, pk > keys)
+    keys = jnp.where(take, pk, keys)
+    vals = [jnp.where(take, _partner(v, j), v) for v in vals]
+    return keys, vals
+
+
+def _local_kernel(*refs, block, n_arrays, seq_from, seq_to):
+    """All stages with seq in [seq_from, seq_to] and j < block, in VMEM.
+
+    seq_from == 2: full local bitonic sort. seq_from == seq_to > block: the
+    in-block tail (j = block/2 .. 1) of one merge round.
+    """
+    ins = refs[:n_arrays]
+    outs = refs[n_arrays:]
+    sub = block // LANES
+    gflat = _flat_iota(sub, pl.program_id(0) * block)
+    keys = ins[0][:]
+    vals = [r[:] for r in ins[1:]]
+    k = seq_from
+    while k <= seq_to:
+        j = min(k // 2, block // 2)
+        while j >= 1:
+            keys, vals = _stage(gflat, keys, vals, j, k)
+            j //= 2
+        k *= 2
+    outs[0][:] = keys
+    for r, v in zip(outs[1:], vals):
+        r[:] = v
+
+
+def _cross_kernel(*refs, block, n_arrays, j, k):
+    """One cross-block stage: j >= block, partner block loaded via second
+    BlockSpec; each program writes only its own block."""
+    mine = refs[:n_arrays]
+    other = refs[n_arrays : 2 * n_arrays]
+    outs = refs[2 * n_arrays :]
+    sub = block // LANES
+    gflat = _flat_iota(sub, pl.program_id(0) * block)
+    keys = mine[0][:]
+    pk = other[0][:]
+    is_lower = (gflat & j) == 0   # block-constant, but vector form is free
+    asc = (gflat & k) == 0
+    want_min = is_lower == asc
+    take = jnp.where(want_min, pk < keys, pk > keys)
+    outs[0][:] = jnp.where(take, pk, keys)
+    for r, m, o in zip(outs[1:], mine[1:], other[1:]):
+        r[:] = jnp.where(take, o[:], m[:])
+
+
+def _shapes(arrs):
+    return [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs]
+
+
+@partial(jax.jit, static_argnames=("block", "interpret", "n_arrays"))
+def _sort_padded(arrs, *, block, interpret, n_arrays):
+    m = arrs[0].shape[0]
+    nb = m // block
+    sub = block // LANES
+    arrs2d = [a.reshape(nb * sub, LANES) for a in arrs]
+
+    own = pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def call_local(arrs2d, seq_from, seq_to):
+        kern = functools.partial(
+            _local_kernel, block=block, n_arrays=n_arrays,
+            seq_from=seq_from, seq_to=seq_to,
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[own] * n_arrays,
+            out_specs=[own] * n_arrays,
+            out_shape=_shapes(arrs2d),
+            interpret=interpret,
+        )(*arrs2d)
+
+    def call_cross(arrs2d, j, k):
+        jb = j // block
+
+        def pmap_(i):
+            return (i ^ jb, 0)
+
+        other = pl.BlockSpec((sub, LANES), pmap_, memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _cross_kernel, block=block, n_arrays=n_arrays, j=j, k=k
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[own] * n_arrays + [other] * n_arrays,
+            out_specs=[own] * n_arrays,
+            out_shape=_shapes(arrs2d),
+            interpret=interpret,
+        )(*arrs2d, *arrs2d)
+
+    # local bitonic sort of every block (direction bits from the global
+    # iota make adjacent blocks come out counter-directed, ready to merge)
+    arrs2d = call_local(arrs2d, 2, block)
+    seq = block * 2
+    while seq <= m:
+        j = seq // 2
+        while j >= block:
+            arrs2d = call_cross(arrs2d, j, seq)
+            j //= 2
+        arrs2d = call_local(arrs2d, seq, seq)  # in-block tail j < block
+        seq *= 2
+    return [a.reshape(m) for a in arrs2d]
+
+
+def _next_pow2(n):
+    return 1 << (n - 1).bit_length()
+
+
+def sort_pairs(keys, *vals, block=32768, interpret=None, pad_key=None):
+    """Sort int32 `keys` ascending, carrying any number of int32/float32
+    payload columns. Not stable (make keys unique for stability).
+
+    Arrays of any length are padded internally to a power of two with
+    `pad_key` (default INT32_MAX, sorts to the end); the returned arrays
+    keep the padded length **only if** the input length was not a power of
+    two — callers slice `[:m]` themselves (padding sorts after every real
+    key <= pad_key).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = keys.shape[0]
+    m_pad = max(_next_pow2(m), LANES * 8)
+    if pad_key is None:
+        pad_key = jnp.iinfo(jnp.int32).max
+    block = min(block, m_pad)
+    arrs = [keys] + list(vals)
+    if m_pad != m:
+        pads = [jnp.full(m_pad - m, pad_key, keys.dtype)] + [
+            jnp.zeros(m_pad - m, v.dtype) for v in vals
+        ]
+        arrs = [jnp.concatenate([a, p]) for a, p in zip(arrs, pads)]
+    out = _sort_padded(tuple(arrs), block=block, interpret=bool(interpret),
+                       n_arrays=len(arrs))
+    return [a[:m] for a in out]

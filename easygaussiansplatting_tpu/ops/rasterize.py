@@ -20,6 +20,15 @@ import jax
 from easygaussiansplatting_tpu.ops import stages
 
 
+def resolve_backend(backend):
+    """"auto" -> the production backend for the current platform: the Pallas
+    kernels on TPU, the tiled-AD rasteriser elsewhere (Pallas off-TPU runs
+    under the interpreter — correct but far too slow to be a default)."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "tiled"
+    return backend
+
+
 def raster_from_aux(
     us, cinv2ds, alphas, colors, depths, areas, valid, *,
     width, height, backend="tiled", tile=16, max_patches=2**18, max_rows=None,
@@ -34,6 +43,7 @@ def raster_from_aux(
     custom call cannot be auto-partitioned by GSPMD). Returns
     (image [3,H,W], raster-aux dict).
     """
+    backend = resolve_backend(backend)
     if backend == "dense":
         from easygaussiansplatting_tpu.ops.rasterize_ref import rasterize_dense
 

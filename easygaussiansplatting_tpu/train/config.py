@@ -42,8 +42,10 @@ class TrainConfig:
     # loss (reference pytorch_ssim.py:64)
     loss_lambda: float = 0.2
 
-    # rasteriser
-    backend: str = "tiled"
+    # rasteriser ("auto" = Pallas kernels on TPU, tiled AD elsewhere —
+    # a default-config train() must never silently use the fallback backend
+    # on real hardware; ops/rasterize.resolve_backend)
+    backend: str = "auto"
     tile: int = 16
     max_patches: int = 2**18
     max_rows: int = None  # None = max_patches (safe); rows ~= patches / mean width
@@ -58,6 +60,7 @@ class TrainConfig:
     # host every step, gausplat.cu:67)
     adaptive_budget: bool = True
     budget_headroom: float = 1.5
+    budget_quantum: int = 16384  # ladder rung granularity (scan-kernel block)
 
     # pool
     capacity_headroom: float = 4.0  # initial capacity = headroom * n_init

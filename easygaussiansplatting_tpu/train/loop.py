@@ -69,8 +69,19 @@ def make_train_step(config: TrainConfig, scene_size: float, max_steps: int,
         visible = (aux["depths"] >= 0.2) & pool.alive
         stats = update_density_stats(stats, g_us, visible)
         binning = aux.get("binning")
-        n_patches = binning["total"] if binning is not None else jnp.int32(0)
-        return pool.replace_params(new_params), adam_state, stats, loss, n_patches
+        if binning is not None:
+            # the budget observation: row and patch budgets are the same
+            # number when max_rows is None, so rows drive growth too
+            obs = binning["total"]
+            if config.max_rows is None:
+                obs = jnp.maximum(obs, binning["total_rows"])
+            binfo = {
+                "obs": obs,
+                "dropped": binning["n_dropped"] + binning["rows_dropped"],
+            }
+        else:
+            binfo = {"obs": jnp.int32(0), "dropped": jnp.int32(0)}
+        return pool.replace_params(new_params), adam_state, stats, loss, binfo
 
     return train_step
 
@@ -81,13 +92,16 @@ class PatchBudget:
 
     def __init__(self, config: TrainConfig):
         self.config = config
-        self.value = _round_budget(config.max_patches)
+        self.quantum = getattr(config, "budget_quantum", 16384)
+        self.value = _round_budget(config.max_patches, self.quantum)
 
     def update(self, observed_max: int) -> bool:
         """Returns True if the budget changed (recompile needed)."""
         if not self.config.adaptive_budget:
             return False
-        want = _round_budget(int(observed_max * self.config.budget_headroom))
+        want = _round_budget(
+            int(observed_max * self.config.budget_headroom), self.quantum
+        )
         if observed_max > 0.9 * self.value or want < 0.5 * self.value:
             if want != self.value:
                 self.value = want
@@ -95,16 +109,22 @@ class PatchBudget:
         return False
 
     def predict(self, observed_max: int):
-        """The next ladder rung, once the observed count is within ~70% of
-        the current budget — the bucket a near-future update() will land on
-        (rungs are ~1.5x apart, so steady densification growth crosses at
-        most one rung per interval). Used to pre-compile ahead of the
-        switch."""
+        """The bucket a near-future update() would land on, once the
+        observed count is within ~70% of the current budget — computed with
+        update()'s own formula so the prefetch can't compile a rung the
+        switch then skips (e.g. observed 6q * 1.5 headroom lands on 12q, not
+        the adjacent 8q). Used to pre-compile ahead of the switch."""
         if not self.config.adaptive_budget:
             return None
         if observed_max <= 0.7 * self.value:
             return None
-        return _round_budget(self.value + 1)
+        want = _round_budget(
+            int(observed_max * self.config.budget_headroom), self.quantum
+        )
+        if want == self.value:
+            # adjacent rung fallback
+            want = _round_budget(self.value + 1, self.quantum)
+        return want
 
 
 def _round_budget(n, quantum=16384):
@@ -199,21 +219,49 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
         stats = density_stats_init(pool.capacity)
     gt_images = [jnp.asarray(g, jnp.float32) for g in gt_images]
 
-    history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": []}
+    history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": [],
+               "overflow_steps": []}
+    overflow_warned = False
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         order = rng.permutation(n)
         losses = []
         patch_peak = []
-        for i in order:
-            pool, adam_state, stats, loss, n_patches = train_step(
+        drops = []
+        for j, i in enumerate(order):
+            pool, adam_state, stats, loss, binfo = train_step(
                 pool, adam_state, stats, cameras[i], gt_images[i]
             )
             losses.append(loss)
-            patch_peak.append(n_patches)
+            patch_peak.append(binfo["obs"])
+            drops.append(binfo["dropped"])
+            # mid-epoch overflow reaction: a densification spike past the
+            # patch/row budget must not silently drop the deepest patches
+            # for a whole epoch (the reference reads the exact patch count
+            # every step, gausplat.cu:67). The host read every 16 steps only
+            # waits on already-finished device work.
+            if config.adaptive_budget and (j + 1) % 16 == 0:
+                recent = int(jnp.max(jnp.stack(drops[-16:])))
+                if recent > 0:
+                    if not overflow_warned:
+                        overflow_warned = True
+                        log_fn(
+                            f"[epoch {epoch + 1}] WARNING: patch budget "
+                            f"overflow — {recent} patches/rows dropped in a "
+                            f"step (budget {budget.value}); growing budget"
+                        )
+                    if budget.update(int(jnp.max(jnp.stack(patch_peak)))):
+                        log_fn(
+                            f"[epoch {epoch + 1}] patch budget -> "
+                            f"{budget.value} (mid-epoch overflow)"
+                        )
+                        train_step = steps.get(budget.value)
         avg_loss = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(avg_loss)
         history["epoch_time"].append(time.time() - t0)
+        history["overflow_steps"].append(
+            int(jnp.sum(jnp.stack(drops) > 0))
+        )
         peak = int(jnp.max(jnp.stack(patch_peak)))
         if budget.update(peak):
             log_fn(f"[epoch {epoch + 1}] patch budget -> {budget.value}")

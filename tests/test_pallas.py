@@ -34,9 +34,9 @@ def test_pallas_forward_matches_tiled(rng):
     args = _scene(rng)
     img_t, aux_t = render(*args, cam, **TILED)
     img_p, aux_p = render(*args, cam, **PALLAS)
-    # 3e-5: the pallas kernel evaluates the Mahalanobis form as an MXU
-    # quadratic-form expansion in tile-local coords (mathematically equal,
-    # different fp32 rounding than the tiled backend's direct dx/dy path);
+    # 3e-5: the pallas forward reduces the cross-segment transmittance
+    # product with a halving tree (_prod_reduce) — mathematically equal to
+    # the tiled backend's sequential product, different fp32 reassociation;
     # the golden-parity contract stays 1e-4
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=3e-5)
     np.testing.assert_array_equal(np.asarray(aux_p["contrib"]), np.asarray(aux_t["contrib"]))

@@ -246,3 +246,72 @@ def test_step_cache_reuse_and_prefetch():
     assert calls == [100, 200]
     cache.prefetch(None, ())  # no target: no-op
     assert calls == [100, 200]
+
+
+def test_backend_auto_resolution():
+    """Default config resolves to the production backend for the platform —
+    a library user calling train() with defaults must never silently get the
+    fallback backend on TPU (VERDICT r2 weak #4)."""
+    from easygaussiansplatting_tpu.ops.rasterize import render, resolve_backend
+
+    assert TrainConfig().backend == "auto"
+    expect = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    assert resolve_backend("auto") == expect
+    assert resolve_backend("tiled") == "tiled"
+
+    scene = make_synthetic_scene(seed=1, n_gaussians=16, n_cams=1, width=48, height=32)
+    args = (
+        jnp.asarray(scene["pws"], jnp.float32),
+        jnp.asarray(scene["shs"], jnp.float32),
+        jnp.asarray(scene["alphas"], jnp.float32),
+        jnp.asarray(scene["scales"], jnp.float32),
+        jnp.asarray(scene["rots"], jnp.float32),
+    )
+    cam = scene["cameras"][0]
+    img_auto, _ = render(*args, cam, backend="auto", max_patches=2048, k_chunk=32)
+    img_exp, _ = render(*args, cam, backend=expect, max_patches=2048, k_chunk=32)
+    np.testing.assert_array_equal(np.asarray(img_auto), np.asarray(img_exp))
+
+
+def test_predict_tracks_update_landing_rung():
+    """predict() must use update()'s own formula: with 1.5x headroom the
+    switch can skip the adjacent rung (ADVICE r2 #5)."""
+    from easygaussiansplatting_tpu.train.loop import PatchBudget, _round_budget
+
+    q = 16384
+    cfg = TrainConfig(max_patches=6 * q, adaptive_budget=True, budget_headroom=1.5)
+    b = PatchBudget(cfg)
+    assert b.value == 6 * q
+    observed = int(0.95 * 6 * q)
+    predicted = b.predict(observed)
+    b.update(observed)
+    assert b.value == predicted  # update lands exactly on the prefetched rung
+    assert predicted == _round_budget(int(observed * 1.5))  # 12q, not 8q
+    assert predicted == 12 * q
+
+
+def test_overflow_warning_and_midepoch_budget_growth():
+    """A patch-count spike past the budget must be surfaced (warning +
+    history) and the budget must react mid-epoch, not a whole epoch later
+    (VERDICT r2 weak #3 / next #3)."""
+    cfg = dataclasses.replace(
+        TrainConfig(), epochs=1, max_patches=256, budget_quantum=256,
+        k_chunk=32, n_chunks=8, backend="tiled", budget_headroom=1.5,
+        densify_every_epochs=100, reset_alpha_every_epochs=100,
+    )
+    # large overlapping blobs on a 3x2-tile image: ~2-3 patches per gaussian
+    # after ellipse culling, 160 gaussians -> well past the 256-slot budget
+    scene = make_synthetic_scene(seed=2, n_gaussians=160, n_cams=16, width=48, height=32)
+    gt_images = render_gt_images(scene)
+    pool = pool_from_arrays(
+        pws=scene["pws"], rots=scene["rots"], scales=scene["scales"],
+        alphas=scene["alphas"], shs=scene["shs"], capacity=160,
+    )
+    logs = []
+    pool, hist = train(
+        pool, scene["cameras"], gt_images, cfg, scene["scene_size"],
+        log_fn=logs.append, eval_every=100,
+    )
+    assert hist["overflow_steps"][0] >= 16  # every step overflowed until the fix
+    assert any("overflow" in m and "WARNING" in m for m in logs)
+    assert any("patch budget ->" in m and "mid-epoch" in m for m in logs)
