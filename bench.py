@@ -66,7 +66,7 @@ def main():
         def loss_fn(params):
             image, _ = render(
                 *params, cam, backend=backend, tile=16,
-                max_patches=max_patches, max_rows=max_rows, k_chunk=128,
+                max_patches=max_patches, max_rows=max_rows, k_chunk=512,
             )
             return gau_loss(image, gt)
 
@@ -77,7 +77,7 @@ def main():
     def fwd_step(params):
         image, _ = render(
             *params, cam, backend=backend, tile=16,
-            max_patches=max_patches, max_rows=max_rows, k_chunk=128,
+            max_patches=max_patches, max_rows=max_rows, k_chunk=512,
         )
         return jnp.mean(image)  # tiny reduction: one scalar to read back
 

@@ -51,6 +51,8 @@ class GSplatDataset:
     images: list
     gs: np.recarray
     scene_size: float
+    image_paths: list = None  # source photo paths (set even when
+    # load_images=False, for lazy loads e.g. viewer frustum thumbnails)
 
     def __len__(self):
         return len(self.cameras)
@@ -88,11 +90,12 @@ def load_colmap_dataset(path, resize_rate=1.0, load_images=True, cache_points=Tr
     cameras = read_cams(sparse / "cameras.bin")
     images_meta = read_imgs(sparse / "images.bin")
 
-    cams, imgs = [], []
+    cams, imgs, img_paths = [], [], []
     for im in sorted(images_meta.values(), key=lambda x: x.id):
         cp = cameras[im.camera_id]
         fx, fy, cx, cy = cp.intrinsics
         im_path = path / "images" / im.name
+        img_paths.append(im_path)
         if load_images:
             img = load_image(im_path, resize_rate)
             h, w = img.shape[1], img.shape[2]
@@ -133,4 +136,5 @@ def load_colmap_dataset(path, resize_rate=1.0, load_images=True, cache_points=Tr
 
     twcs = np.stack([np.asarray(c.twc) for c in cams])
     scene_size = 1.1 * float(np.max(np.linalg.norm(twcs - twcs.mean(0), axis=1)))
-    return GSplatDataset(cameras=cams, images=imgs, gs=gs, scene_size=scene_size)
+    return GSplatDataset(cameras=cams, images=imgs, gs=gs, scene_size=scene_size,
+                         image_paths=img_paths)

@@ -82,9 +82,10 @@ def _propagate(starts, values, budget):
 ALPHA_SKIP = 0.002  # blend skip threshold (parity: kernels.py / kernel.cu)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile", "max_patches", "max_rows"))
+@partial(jax.jit, static_argnames=("width", "height", "tile", "max_patches",
+                                   "max_rows", "gsid_counts"))
 def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_patches,
-                  max_rows=None, cinv2ds=None, alphas=None):
+                  max_rows=None, cinv2ds=None, alphas=None, gsid_counts=False):
     """Build the per-tile draw lists.
 
     Patch expansion is two-level (gaussian -> covered tile-rows -> covered
@@ -261,7 +262,7 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     tile_start = bounds[:n_tiles]
     tile_cnt = bounds[1:] - bounds[:-1]
 
-    return {
+    out = {
         "patch_gsid": gsid_sorted,
         "patch_tile": tile_sorted,
         "tile_start": tile_start,
@@ -274,6 +275,32 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         # (the trainer folds both into its overflow signal)
         "rows_dropped": total_rows - jnp.minimum(total_rows, max_rows),
     }
+    if gsid_counts:
+        # Per-gaussian kept-patch count, original id order — the Pallas
+        # backward's sort-reduce gradient accumulation (rasterize.py
+        # _raster_table_bwd) turns these into segment-end positions, which
+        # replaces a 786k-query searchsorted with one cheap cumsum. A
+        # depth-sorted gaussian's patches are the contiguous expansion
+        # slots [wcum_excl(rstart), wcum_excl(rstart + rows)), clipped to
+        # the row and patch budgets exactly as the expansion itself clips.
+        wcum_pad = jnp.concatenate([jnp.zeros(1, wcum.dtype), wcum])
+        lo_cnt = jnp.minimum(wcum_pad[jnp.clip(rstart, 0, max_rows)], kept)
+        hi_cnt = jnp.minimum(
+            wcum_pad[jnp.clip(rstart + row_counts, 0, max_rows)], kept
+        )
+        count_sorted = (hi_cnt - lo_cnt).astype(jnp.int32)  # by depth rank
+        # invert the depth permutation: counts_by_id[order[r]] = counts[r].
+        # A key sort of (order, counts) IS that inversion (order is a
+        # permutation, so the sorted keys are 0..n-1) — on TPU this rides
+        # the Pallas bitonic sort; a 65k scatter-set would cost ~10x more.
+        if jax.default_backend() == "tpu" and us.dtype != jnp.float64:
+            from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
+
+            _, by_id = sort_pairs(order, count_sorted)
+        else:
+            _, by_id = jax.lax.sort_key_val(order, count_sorted)
+        out["gsid_counts"] = by_id
+    return out
 
 
 @partial(jax.jit, static_argnames=("k_chunk", "n_tiles"))

@@ -107,6 +107,9 @@ def _chunk_alpha(data, px, py):
     return ap, (maha_raw, ux, uy, ca, cb, cc, alpha)
 
 
+SUB = 128  # sub-chunk rows: the unit of compute (and of scan depth)
+
+
 def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                    last_ref, tail_ref, live_ref,
                    packed_ref, img_ref, tau_ref, cont_ref,
@@ -125,40 +128,51 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
 
     lo = lo_ref[s]
     hi = hi_ref[s]
+    sub = min(SUB, k)
 
-    # live_ref == 0: segment lies wholly in the padding tail past the kept
-    # patch count — skip its compute (the budget's ~1.5x headroom otherwise
-    # costs real VPU time on alpha=0 rows)
-    @pl.when((hi > lo) & (sat_s[0] == 0) & (live_ref[s] == 1))
-    def _():
-        tau = tau_s[:]  # [1,P]
-        data = packed_ref[:]  # [K,16] chunk block (resident across segments)
-        # [K,1] row iota: the segment membership test is row-constant, so
-        # keep it narrow and let broadcasting pay only one [K,P] op
-        subc = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        in_seg = (subc >= lo) & (subc < hi)  # [K,1]
-        ap, _ = _chunk_alpha(data, px, py)
-        m1 = in_seg & (ap >= ALPHA_SKIP)
-        one_m = jnp.where(m1, 1.0 - ap, 1.0)
-        tau_ex = tau * prefix_prod_exclusive(one_m)  # [K,P] (F.6.3)
-        contribute = m1 & (tau_ex >= TAU_STOP)  # (F.6.4)
-        wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [K,P]
-        colc = data[:, 6:9]  # [K,3]
-        img_s[:] = img_s[:] + jax.lax.dot_general(
-            colc, wgt, (((0,), (0,)), ((), ())), precision=_HI,
-            preferred_element_type=jnp.float32,
-        )  # [3,P]
-        # contribute-masked whole-segment product (must match what the
-        # backward's suffix-product replay divides out, B.2.1): a halving
-        # tree reduction costs ~K*P multiplies total, vs 7*K*P for the old
-        # circular doubling (Mosaic has no reduce-prod primitive)
-        new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
-        tau_s[:] = new_tau
-        sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
-        idx1 = pos_ref[s] + (subc - lo) + 1  # 1-based position in the tile list
-        cont_s[:] = jnp.maximum(
-            cont_s[:], jnp.max(jnp.where(contribute, idx1, 0), axis=0, keepdims=True)
-        )
+    # The chunk is processed in SUB-row sub-chunks, each gated by a scalar
+    # overlap test against the segment's [lo, hi) row range: a big K block
+    # amortises grid-step overhead without paying full-K compute on the
+    # short tile-boundary segments (only the sub-chunk a boundary lands in
+    # is ever computed twice). live_ref == 0: segment lies wholly in the
+    # padding tail past the kept patch count — skip (the budget's ~1.5x
+    # headroom otherwise costs real VPU time on alpha=0 rows).
+    for sc in range(k // sub):
+        s0 = sc * sub
+
+        @pl.when((hi > s0) & (lo < s0 + sub) & (sat_s[0] == 0)
+                 & (live_ref[s] == 1))
+        def _(s0=s0):
+            tau = tau_s[:]  # [1,P]
+            data = packed_ref[s0:s0 + sub, :]  # [SUB,16] static slice
+            # [SUB,1] row iota: the segment membership test is row-constant,
+            # so keep it narrow and let broadcasting pay only one [SUB,P] op
+            subc = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) + s0
+            in_seg = (subc >= lo) & (subc < hi)  # [SUB,1]
+            ap, _ = _chunk_alpha(data, px, py)
+            m1 = in_seg & (ap >= ALPHA_SKIP)
+            one_m = jnp.where(m1, 1.0 - ap, 1.0)
+            tau_ex = tau * prefix_prod_exclusive(one_m)  # [SUB,P] (F.6.3)
+            contribute = m1 & (tau_ex >= TAU_STOP)  # (F.6.4)
+            wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [SUB,P]
+            colc = data[:, 6:9]  # [SUB,3]
+            img_s[:] = img_s[:] + jax.lax.dot_general(
+                colc, wgt, (((0,), (0,)), ((), ())), precision=_HI,
+                preferred_element_type=jnp.float32,
+            )  # [3,P]
+            # contribute-masked whole-sub-chunk product (must match what the
+            # backward's suffix-product replay divides out, B.2.1): a
+            # halving tree reduction costs ~SUB*P multiplies total, vs
+            # 7*SUB*P for the old circular doubling (Mosaic has no
+            # reduce-prod primitive)
+            new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
+            tau_s[:] = new_tau
+            sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
+            idx1 = pos_ref[s] + (subc - lo) + 1  # 1-based position in tile list
+            cont_s[:] = jnp.maximum(
+                cont_s[:],
+                jnp.max(jnp.where(contribute, idx1, 0), axis=0, keepdims=True),
+            )
 
     # Write the tile's outputs once, at its last segment.
     @pl.when(last_ref[s] == 1)
@@ -199,91 +213,102 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     lo = lo_ref[rs]
     hi = hi_ref[rs]
     pos = pos_ref[rs]
+    sub = min(SUB, k)
 
-    # A segment contributes only if some pixel's contributor count reaches
-    # it (B.2.3). The per-tile max count is precomputed outside (maxcont
-    # prefetch) so the test stays scalar — no per-step vector->scalar
-    # pipeline stall.
-    @pl.when((hi > lo) & (maxcont_ref[t] > pos) & (live_ref[rs] == 1))
-    def _():
-        cont = cont_ref[0]  # [1,P] int32
-        data = packed_ref[:]
-        g = g_ref[0]  # [3,P] dL/dpixel for this tile
-        ap, (maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
-        subc = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        rowmask = (subc >= lo) & (subc < hi)  # [K,1] (segment test is
-        # row-constant; broadcast against the per-pixel cont below)
-        idx0 = pos + (subc - lo)  # [K,1]
-        m = rowmask & (idx0 < cont) & (ap >= ALPHA_SKIP)
+    # Sub-chunks walk back-to-front inside the reverse segment walk. Each is
+    # gated by scalar tests: range overlap with [lo, hi), the per-tile max
+    # contributor count (B.2.3 — precomputed outside so the test stays
+    # scalar, no per-step vector->scalar pipeline stall), and the padding
+    # tail.
+    for sc in reversed(range(k // sub)):
+        s0 = sc * sub
 
-        one_m = jnp.where(m, 1.0 - ap, 1.0)
-        sfx = suffix_prod_inclusive(one_m)  # [K,P] (B.2.1)
-        tau_end = tau_s[:]
-        tau_ex = tau_end / sfx              # T_{k-1} per entry (B.2.1; drawB division)
-        tau_s[:] = tau_end / sfx[0:1, :]
+        @pl.when((hi > s0) & (lo < s0 + sub)
+                 & (maxcont_ref[t] > pos + jnp.maximum(0, s0 - lo))
+                 & (live_ref[rs] == 1))
+        def _(s0=s0):
+            cont = cont_ref[0]  # [1,P] int32
+            data = packed_ref[s0:s0 + sub, :]  # [SUB,16]
+            g = g_ref[0]  # [3,P] dL/dpixel for this tile
+            ap, (maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
+            subc = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) + s0
+            rowmask = (subc >= lo) & (subc < hi)  # [SUB,1] (segment test is
+            # row-constant; broadcast against the per-pixel cont below)
+            idx0 = pos + (subc - lo)  # [SUB,1]
+            m = rowmask & (idx0 < cont) & (ap >= ALPHA_SKIP)
 
-        contr = jnp.where(m, tau_ex * ap, 0.0)  # [K,P]
-        colc = data[:, 6:9]  # [K,3]
-        # cg[k,p] = sum_c color[k,c] * g[c,p]  (B.5.2)
-        cg = jax.lax.dot_general(
-            colc, g, (((1,), (0,)), ((), ())), precision=_HI,
-            preferred_element_type=jnp.float32,
-        )  # [K,P]
-        cgw = contr * cg
-        # Gg[k,p] = g . (accumulated color behind entry k) — suffix sum +
-        # carry (B.2.2)
-        gag = gag_s[:]
-        Gg = suffix_sum_exclusive(cgw) + gag
-        gag_s[:] = gag + jnp.sum(cgw, axis=0, keepdims=True)
+            one_m = jnp.where(m, 1.0 - ap, 1.0)
+            sfx = suffix_prod_inclusive(one_m)  # [SUB,P] (B.2.1)
+            tau_end = tau_s[:]
+            tau_ex = tau_end / sfx          # T_{k-1} per entry (B.2.1; drawB division)
+            tau_s[:] = tau_end / sfx[0:1, :]
 
-        # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)
-        dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
-        unclamped = ap < ALPHA_CLAMP
-        # e = exp(-maha/2) is recovered from ap = alpha*e (B.3.1) instead of
-        # a second [K,P] exp: dap*e = dap*ap/alpha, with the division hoisted
-        # outside the pixel sum (alpha is per-entry). m implies ap >= 0.002
-        # so alpha >= 0.002 and the guard never bites on live entries.
-        dap_ap = dap * ap
-        dalpha = jnp.sum(
-            jnp.where(m & unclamped, dap_ap, 0.0), axis=1, keepdims=True
-        ) / jnp.maximum(alpha, 1e-12)  # [K,1]
-        dm = jnp.where(m & unclamped & (maha_raw > 0.0), -0.5 * dap_ap, 0.0)  # [K,P]
+            contr = jnp.where(m, tau_ex * ap, 0.0)  # [SUB,P]
+            colc = data[:, 6:9]  # [SUB,3]
+            # cg[k,p] = sum_c color[k,c] * g[c,p]  (B.5.2)
+            cg = jax.lax.dot_general(
+                colc, g, (((1,), (0,)), ((), ())), precision=_HI,
+                preferred_element_type=jnp.float32,
+            )  # [SUB,P]
+            cgw = contr * cg
+            # Gg[k,p] = g . (accumulated color behind entry k) — suffix sum
+            # + carry (B.2.2)
+            gag = gag_s[:]
+            Gg = suffix_sum_exclusive(cgw) + gag
+            gag_s[:] = gag + jnp.sum(cgw, axis=0, keepdims=True)
 
-        # moment sums over pixels (B.4.3) as ONE MXU contraction:
-        # dm[K,P] @ basis^T[P,6] -> all six moments at once (contraction
-        # dim P=256 uses the systolic array well; six separate lane
-        # reductions + five [K,P] multiplies were measured slower)
-        mom = jax.lax.dot_general(
-            dm, q, (((1,), (1,)), ((), ())), precision=_HI,
-            preferred_element_type=jnp.float32,
-        )  # [K,6]: sum dm * {1, x, y, x^2, xy, y^2}
-        s0 = mom[:, 0:1]
-        sx = mom[:, 1:2]
-        sy = mom[:, 2:3]
-        sxx = mom[:, 3:4]
-        sxy = mom[:, 4:5]
-        syy = mom[:, 5:6]
-        ex = ux * s0 - sx  # sum dm * dx (B.4.3)
-        ey = uy * s0 - sy
-        dux = 2.0 * ca * ex + 2.0 * cb * ey  # (B.4.4)
-        duy = 2.0 * cc * ey + 2.0 * cb * ex
-        dca = ux * ux * s0 - 2.0 * ux * sx + sxx  # (B.4.5)
-        dcb = 2.0 * (ux * uy * s0 - ux * sy - uy * sx + sxy)
-        dcc = uy * uy * s0 - 2.0 * uy * sy + syy
+            # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)
+            dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
+            unclamped = ap < ALPHA_CLAMP
+            # e = exp(-maha/2) is recovered from ap = alpha*e (B.3.1)
+            # instead of a second [SUB,P] exp: dap*e = dap*ap/alpha, with
+            # the division hoisted outside the pixel sum (alpha is
+            # per-entry). m implies ap >= 0.002 so alpha >= 0.002 and the
+            # guard never bites on live entries.
+            dap_ap = dap * ap
+            dalpha = jnp.sum(
+                jnp.where(m & unclamped, dap_ap, 0.0), axis=1, keepdims=True
+            ) / jnp.maximum(alpha, 1e-12)  # [SUB,1]
+            dm = jnp.where(m & unclamped & (maha_raw > 0.0), -0.5 * dap_ap, 0.0)
 
-        # dcolor[k,c] = sum_p contr[k,p] * g[c,p]  (B.1.1 as one MXU
-        # contraction, B.5.1)
-        dcolor = jax.lax.dot_general(
-            contr, g, (((1,), (1,)), ((), ())), precision=_HI,
-            preferred_element_type=jnp.float32,
-        )  # [K,3]
+            # moment sums over pixels (B.4.3) as ONE MXU contraction:
+            # dm[SUB,P] @ basis^T[P,6] -> all six moments at once
+            # (contraction dim P=256 uses the systolic array well; six
+            # separate lane reductions + five [SUB,P] multiplies were
+            # measured slower)
+            mom = jax.lax.dot_general(
+                dm, q, (((1,), (1,)), ((), ())), precision=_HI,
+                preferred_element_type=jnp.float32,
+            )  # [SUB,6]: sum dm * {1, x, y, x^2, xy, y^2}
+            s0m = mom[:, 0:1]
+            sx = mom[:, 1:2]
+            sy = mom[:, 2:3]
+            sxx = mom[:, 3:4]
+            sxy = mom[:, 4:5]
+            syy = mom[:, 5:6]
+            ex = ux * s0m - sx  # sum dm * dx (B.4.3)
+            ey = uy * s0m - sy
+            dux = 2.0 * ca * ex + 2.0 * cb * ey  # (B.4.4)
+            duy = 2.0 * cc * ey + 2.0 * cb * ex
+            dca = ux * ux * s0m - 2.0 * ux * sx + sxx  # (B.4.5)
+            dcb = 2.0 * (ux * uy * s0m - ux * sy - uy * sx + sxy)
+            dcc = uy * uy * s0m - 2.0 * uy * sy + syy
 
-        # masked read-modify-write (B.6.1): other segments own the other lanes
-        colmask = rowmask.reshape(1, k)  # [1,K]
-        grads_ref[0:1, :] = jnp.where(colmask, dux.reshape(1, k), grads_ref[0:1, :])
-        grads_ref[1:2, :] = jnp.where(colmask, duy.reshape(1, k), grads_ref[1:2, :])
-        grads_ref[2:3, :] = jnp.where(colmask, dca.reshape(1, k), grads_ref[2:3, :])
-        grads_ref[3:4, :] = jnp.where(colmask, dcb.reshape(1, k), grads_ref[3:4, :])
-        grads_ref[4:5, :] = jnp.where(colmask, dcc.reshape(1, k), grads_ref[4:5, :])
-        grads_ref[5:6, :] = jnp.where(colmask, dalpha.reshape(1, k), grads_ref[5:6, :])
-        grads_ref[6:9, :] = jnp.where(colmask, dcolor.T, grads_ref[6:9, :])
+            # dcolor[k,c] = sum_p contr[k,p] * g[c,p]  (B.1.1 as one MXU
+            # contraction, B.5.1)
+            dcolor = jax.lax.dot_general(
+                contr, g, (((1,), (1,)), ((), ())), precision=_HI,
+                preferred_element_type=jnp.float32,
+            )  # [SUB,3]
+
+            # masked read-modify-write (B.6.1) on this sub-chunk's lanes:
+            # other segments own the other lanes of the chunk block
+            colmask = rowmask.reshape(1, sub)  # [1,SUB]
+            cs = slice(s0, s0 + sub)
+            grads_ref[0:1, cs] = jnp.where(colmask, dux.reshape(1, sub), grads_ref[0:1, cs])
+            grads_ref[1:2, cs] = jnp.where(colmask, duy.reshape(1, sub), grads_ref[1:2, cs])
+            grads_ref[2:3, cs] = jnp.where(colmask, dca.reshape(1, sub), grads_ref[2:3, cs])
+            grads_ref[3:4, cs] = jnp.where(colmask, dcb.reshape(1, sub), grads_ref[3:4, cs])
+            grads_ref[4:5, cs] = jnp.where(colmask, dcc.reshape(1, sub), grads_ref[4:5, cs])
+            grads_ref[5:6, cs] = jnp.where(colmask, dalpha.reshape(1, sub), grads_ref[5:6, cs])
+            grads_ref[6:9, cs] = jnp.where(colmask, dcolor.T, grads_ref[6:9, cs])

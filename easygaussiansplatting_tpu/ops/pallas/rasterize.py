@@ -148,19 +148,56 @@ def _raster_table_bwd(dims, res, cotangents):
     packed, n, gsafe, live, meta, tau, cont = res
     g_img, _, _ = cotangents  # gradients w.r.t. tau/contrib are not propagated
     grads16 = _bwd_call(  # [16, M] — lane-compact (see backward_kernel)
-        packed, meta, g_img, tau, cont,
+        packed, {kk: meta[kk] for kk in _META_KEYS}, g_img, tau, cont,
         n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
     )
     rows_ct = jnp.where(live[None, :], grads16[:GRAD_USED], 0.0)
-    # deterministic segment scatter-add onto the gaussian table (B.6.2) —
-    # the reference's atomicAdd accumulation (gsplatcu/kernel.cu:924-945);
-    # only the 9 used rows (u, conic, alpha, color) move through the
-    # scatter; the table cotangent is zero-padded to PACK_ROWS after
-    dtable9 = jnp.zeros((GRAD_USED, n), jnp.float32).at[:, gsafe].add(rows_ct)
+    # Deterministic per-gaussian gradient accumulation (B.6.2) — the
+    # reference's atomicAdd (gsplatcu/kernel.cu:924-945). Only the 9 used
+    # rows (u, conic, alpha, color) are reduced; the table cotangent is
+    # zero-padded to PACK_ROWS after.
+    if meta.get("gsid_counts") is not None and not interpret:
+        dtable9 = _sort_reduce_grads(
+            rows_ct, gsafe, live, meta["gsid_counts"], n
+        )
+    else:
+        # XLA scatter-add: fine on CPU; on TPU it is latency-bound at
+        # ~15 ns/index (~12 ms at 786k patches) — hence the sort-reduce
+        dtable9 = jnp.zeros((GRAD_USED, n), jnp.float32).at[:, gsafe].add(rows_ct)
     dtable = jnp.concatenate(
         [dtable9, jnp.zeros((PACK_ROWS - GRAD_USED, n), jnp.float32)], axis=0
     )
     return dtable.T, None, None, {key: None for key in meta}
+
+
+def _sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, n):
+    """Patch->gaussian gradient reduction as sort + segmented sum.
+
+    The 9 per-patch gradient rows ride as payloads through the Pallas
+    bitonic sort keyed by gaussian id (dead/padding patches key to
+    INT32_MAX and sink to the end), a segmented inclusive scan (resetting
+    at each key change, so sums never leave one gaussian's magnitude — no
+    cumsum-difference cancellation) accumulates each gaussian's patches,
+    and the per-gaussian totals are read at segment-end positions computed
+    from binning's patch counts (a cumsum — no searchsorted over the patch
+    array). Fully vectorized: replaces XLA's serial scatter loop.
+    """
+    from easygaussiansplatting_tpu.ops.pallas.scan import segmented_cumsum
+    from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
+
+    m = gsafe.shape[0]
+    key = jnp.where(live, gsafe, jnp.iinfo(jnp.int32).max)
+    out = sort_pairs(key, *[rows_ct[i] for i in range(GRAD_USED)])
+    skey = out[0]
+    svals = jnp.stack(out[1:])  # [9, M]
+    flags = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (skey[1:] != skey[:-1]).astype(jnp.int32)]
+    )
+    seg = segmented_cumsum(svals, flags)
+    cum = jnp.cumsum(gsid_counts)
+    end = jnp.clip(cum - 1, 0, m - 1)
+    dense = jnp.take(seg, end, axis=1)  # [9, n]
+    return jnp.where((gsid_counts > 0)[None, :], dense, 0.0)
 
 
 _raster_table.defvjp(_raster_table_fwd, _raster_table_bwd)
@@ -192,7 +229,10 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     m = gsid.shape[0]
     if m % k_chunk:
         raise ValueError(f"max_patches {m} must be a multiple of k_chunk {k_chunk}")
-    meta = segment_layout(binning, k_chunk=k_chunk, n_tiles=n_tiles)
+    meta = dict(segment_layout(binning, k_chunk=k_chunk, n_tiles=n_tiles))
+    # per-gaussian patch counts ride along for the backward's sort-reduce
+    # gradient accumulation (None -> XLA scatter fallback, e.g. off-TPU)
+    meta["gsid_counts"] = binning.get("gsid_counts")
     gsafe = jnp.maximum(gsid, 0)
     live = gsid >= 0
 

@@ -69,3 +69,68 @@ def batched_cumsum(arrays, interpret=None):
     rows = jnp.stack(arrays, axis=0)
     out = multi_cumsum(rows, interpret=interpret)
     return [out[i] for i in range(len(arrays))]
+
+
+def _seg_scan_kernel(x_ref, f_ref, o_ref, carry):
+    """Inclusive SEGMENTED scan along lanes: the running sum resets at every
+    flagged element, so totals never grow past one segment's magnitude — no
+    cumsum-then-difference cancellation (the reason this exists; see
+    ops/pallas/rasterize._raster_table_bwd)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    y = x_ref[:]                      # [R, L]
+    g = jnp.minimum(f_ref[:], 1)      # [1, L] segment-start marks (int32 —
+    # Mosaic's i1 vector rolls/selects are unreliable, keep flags integer)
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    s = 1
+    while s < y.shape[1]:
+        in_range = lane >= s
+        y_sh = jnp.where(in_range, jnp.roll(y, s, axis=1), 0.0)
+        g_sh = jnp.where(in_range, jnp.roll(g, s, axis=1), 1)
+        y = y + jnp.where(g > 0, 0.0, y_sh)
+        g = jnp.maximum(g, g_sh)
+        s <<= 1
+    out = y + jnp.where(g > 0, 0.0, carry[:])
+    o_ref[:] = out
+    carry[:] = out[:, -1:]
+
+
+def _seg_cumsum_ref(vals, flags):
+    f = jnp.broadcast_to(flags[None, :] != 0, vals.shape)
+
+    def op(a, b):
+        return (b[0] + jnp.where(b[1], 0.0, a[0]), a[1] | b[1])
+
+    v, _ = jax.lax.associative_scan(op, (vals, f), axis=1)
+    return v
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def segmented_cumsum(vals, flags, interpret=None):
+    """Inclusive segmented cumsum along axis 1 of [R, M] float32 `vals`;
+    `flags` [M] nonzero marks the first element of each segment (element 0
+    is always a segment start). M a multiple of 128."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        return _seg_cumsum_ref(vals, flags)
+    r, m = vals.shape
+    lanes = min(_LANES, m)
+    if m % lanes:
+        return _seg_cumsum_ref(vals, flags)
+    flags = flags.astype(jnp.int32).at[0].set(1)[None, :]
+    return pl.pallas_call(
+        _seg_scan_kernel,
+        grid=(m // lanes,),
+        in_specs=[
+            pl.BlockSpec((r, lanes), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, lanes), lambda c: (0, c), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, m), vals.dtype),
+        scratch_shapes=[pltpu.VMEM((r, 1), vals.dtype)],
+    )(vals, flags)

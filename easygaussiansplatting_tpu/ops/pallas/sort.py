@@ -67,7 +67,8 @@ def _stage(gflat, keys, vals, j, k):
     is_lower = (gflat & j) == 0
     asc = (gflat & k) == 0
     want_min = is_lower == asc
-    take = jnp.where(want_min, pk < keys, pk > keys)
+    # (Mosaic cannot select between two i1 vectors — use boolean algebra)
+    take = (want_min & (pk < keys)) | (~want_min & (pk > keys))
     keys = jnp.where(take, pk, keys)
     vals = [jnp.where(take, _partner(v, j), v) for v in vals]
     return keys, vals
@@ -110,7 +111,7 @@ def _cross_kernel(*refs, block, n_arrays, j, k):
     is_lower = (gflat & j) == 0   # block-constant, but vector form is free
     asc = (gflat & k) == 0
     want_min = is_lower == asc
-    take = jnp.where(want_min, pk < keys, pk > keys)
+    take = (want_min & (pk < keys)) | (~want_min & (pk > keys))
     outs[0][:] = jnp.where(take, pk, keys)
     for r, m, o in zip(outs[1:], mine[1:], other[1:]):
         r[:] = jnp.where(take, o[:], m[:])
@@ -120,42 +121,48 @@ def _shapes(arrs):
     return [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs]
 
 
-@partial(jax.jit, static_argnames=("block", "interpret", "n_arrays"))
-def _sort_padded(arrs, *, block, interpret, n_arrays):
+@partial(jax.jit, static_argnames=("block", "interpret", "n_arrays", "group"))
+def _sort_padded(arrs, *, block, interpret, n_arrays, group=None):
     m = arrs[0].shape[0]
-    nb = m // block
-    sub = block // LANES
-    arrs2d = [a.reshape(nb * sub, LANES) for a in arrs]
+    arrs2d = [a.reshape(m // LANES, LANES) for a in arrs]
+    if group is None:
+        # merge-phase fusion width: as many blocks per program as VMEM
+        # allows (~2 MB per resident copy x in/out/partner), capped hard at
+        # 64k elements for Mosaic compile time (instructions ~ stages x
+        # vregs; a 256k-element group kernel took >10 min to compile on the
+        # tunneled compiler, a 64k one is ~12k instructions)
+        group = max(block, min(1 << 16, _pow2_floor((1 << 21) // n_arrays)))
+    group = min(group, m)
 
-    own = pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def call_local(arrs2d, seq_from, seq_to):
+    def call_local(arrs2d, blk, seq_from, seq_to):
+        sub = blk // LANES
+        own = pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         kern = functools.partial(
-            _local_kernel, block=block, n_arrays=n_arrays,
+            _local_kernel, block=blk, n_arrays=n_arrays,
             seq_from=seq_from, seq_to=seq_to,
         )
         return pl.pallas_call(
             kern,
-            grid=(nb,),
+            grid=(m // blk,),
             in_specs=[own] * n_arrays,
             out_specs=[own] * n_arrays,
             out_shape=_shapes(arrs2d),
             interpret=interpret,
         )(*arrs2d)
 
-    def call_cross(arrs2d, j, k):
-        jb = j // block
-
-        def pmap_(i):
-            return (i ^ jb, 0)
-
-        other = pl.BlockSpec((sub, LANES), pmap_, memory_space=pltpu.VMEM)
+    def call_cross(arrs2d, blk, j, k):
+        sub = blk // LANES
+        jb = j // blk
+        own = pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        other = pl.BlockSpec(
+            (sub, LANES), lambda i: (i ^ jb, 0), memory_space=pltpu.VMEM
+        )
         kern = functools.partial(
-            _cross_kernel, block=block, n_arrays=n_arrays, j=j, k=k
+            _cross_kernel, block=blk, n_arrays=n_arrays, j=j, k=k
         )
         return pl.pallas_call(
             kern,
-            grid=(nb,),
+            grid=(m // blk,),
             in_specs=[own] * n_arrays + [other] * n_arrays,
             out_specs=[own] * n_arrays,
             out_shape=_shapes(arrs2d),
@@ -164,16 +171,23 @@ def _sort_padded(arrs, *, block, interpret, n_arrays):
 
     # local bitonic sort of every block (direction bits from the global
     # iota make adjacent blocks come out counter-directed, ready to merge)
-    arrs2d = call_local(arrs2d, 2, block)
+    arrs2d = call_local(arrs2d, block, 2, block)
     seq = block * 2
     while seq <= m:
+        # cross stages beyond the fused-group width: paired-block passes
         j = seq // 2
-        while j >= block:
-            arrs2d = call_cross(arrs2d, j, seq)
+        while j >= group:
+            arrs2d = call_cross(arrs2d, group, j, seq)
             j //= 2
-        arrs2d = call_local(arrs2d, seq, seq)  # in-block tail j < block
+        # all remaining stages of this merge round fused into one in-VMEM
+        # pass over group-wide superblocks
+        arrs2d = call_local(arrs2d, group, seq, seq)
         seq *= 2
     return [a.reshape(m) for a in arrs2d]
+
+
+def _pow2_floor(n):
+    return 1 << (n.bit_length() - 1)
 
 
 def _next_pow2(n):

@@ -65,6 +65,9 @@ def raster_from_aux(
         # skip-ellipse row culling: candidate set stays pixel-exact vs the
         # AABB (see bin_gaussians) while patches drop 25-40%
         cinv2ds=cinv2ds, alphas=alphas,
+        # the Pallas backward's sort-reduce gradient path needs per-gaussian
+        # patch counts (see _raster_table_bwd)
+        gsid_counts=(backend == "pallas" and jax.default_backend() == "tpu"),
     )
 
     if backend == "tiled":

@@ -145,7 +145,9 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} alive={history['n_alive'][-1]} "
                    f"({history['epoch_time'][-1]:.1f}s)")
         if epoch_cb is not None:
-            epoch_cb(e, pool, adam_state, stats, key)
+            from easygaussiansplatting_tpu.train.loop import call_epoch_cb
+
+            call_epoch_cb(epoch_cb, e, pool, adam_state, stats, key, history)
     return pool, history
 
 

@@ -49,7 +49,11 @@ class TrainConfig:
     tile: int = 16
     max_patches: int = 2**18
     max_rows: int = None  # None = max_patches (safe); rows ~= patches / mean width
-    k_chunk: int = 64
+    # k_chunk: Pallas chunk-block rows (sub-chunked internally in units of
+    # 128; bigger blocks amortise grid-step overhead); for the tiled
+    # backend it is the scan chunk length, with n_chunks*k_chunk the
+    # per-tile list capacity
+    k_chunk: int = 512
     n_chunks: int = 16
     sh_degree: int = 3
 

@@ -302,5 +302,24 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
         else:
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} alive={history['n_alive'][-1]}")
         if epoch_cb is not None:
-            epoch_cb(e, pool, adam_state, stats, key)
+            call_epoch_cb(epoch_cb, e, pool, adam_state, stats, key, history)
     return pool, history
+
+
+def call_epoch_cb(cb, e, pool, adam_state, stats, key, history):
+    """Invoke an epoch callback; pass `history` only to callbacks that
+    accept it (e.g. viewer.monitor.TrainingMonitor) so the original
+    5-argument callback signature keeps working."""
+    import inspect
+
+    try:
+        params = inspect.signature(cb).parameters
+        wants_history = "history" in params or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+    except (TypeError, ValueError):
+        wants_history = False
+    if wants_history:
+        cb(e, pool, adam_state, stats, key, history=history)
+    else:
+        cb(e, pool, adam_state, stats, key)

@@ -12,10 +12,14 @@ Feature parity map (reference -> here):
 * settings window, key M (viewer.py:12-51)            -> settings panel
 * render modes normal / ball / inverse
   (gaussian_item.py:71-87, gau_frag.glsl:29-40)       -> `mode` query param
-* dataset camera frusta overlay (gaussian_viewer.py:24-60) -> `markers=1`
-  (bright marker gaussians at the dataset camera centres)
-* point-cloud overlay (CloudItem)                     -> `cloud=1`
-  (tiny fixed-size gaussians at the SfM points)
+* dataset camera frusta overlay (gaussian_viewer.py:24-60,
+  camera_frame_item.py) -> `markers=1`: oriented wireframe frusta built
+  from each camera's true pose/intrinsics with the photograph shown as
+  flat gaussian texels on the image plane (viewer/headless.camera_frusta)
+* point-cloud overlay (CloudItem, cloud_item.py)      -> `cloud=1` with
+  `cloud_mode` = rgb | flat | intensity | rainbow (the reference's
+  settings-panel color modes; rainbow maps height through the same
+  5-segment ramp, utils/image.py rainbow_sh)
 
 All overlay/mode switches keep the gaussian count and image shape static, so
 every view reuses ONE jitted render: overlays toggle by zeroing their
@@ -47,7 +51,8 @@ class SceneRenderer:
     """One scene + one jitted TPU render; thread-safe (the chip is one)."""
 
     def __init__(self, gaussians, dataset_cameras=(), cloud=None,
-                 backend=None, max_patches=2**20, marker_skip=5):
+                 backend=None, max_patches=2**20, marker_skip=5,
+                 dataset_images=None):
         import jax
 
         self.lock = threading.Lock()
@@ -64,12 +69,18 @@ class SceneRenderer:
         self.blocks = [("scene", a)]
         self.dataset_cameras = list(dataset_cameras)
         if self.dataset_cameras:
-            from easygaussiansplatting_tpu.viewer.headless import camera_markers
+            from easygaussiansplatting_tpu.viewer.headless import camera_frusta
 
-            m = camera_markers(self.dataset_cameras[:: max(1, marker_skip)])
+            skip = max(1, marker_skip)
+            cams_sel = self.dataset_cameras[::skip]
+            imgs_sel = (list(dataset_images)[::skip]
+                        if dataset_images is not None else None)
+            m = camera_frusta(cams_sel, images=imgs_sel)
             self.blocks.append(("markers", self._pad_sh(m, a["shs"].shape[1])))
+        self._cloud_z = None
         if cloud is not None and len(cloud["pws"]):
             self.blocks.append(("cloud", self._pad_sh(cloud, a["shs"].shape[1])))
+            self._cloud_z = np.asarray(cloud["pws"], np.float32)[:, 2]
 
         self.full = {
             k: np.concatenate([_as_f32(b[k]).reshape(len(b["pws"]), -1)
@@ -122,7 +133,7 @@ class SceneRenderer:
 
     def render(self, *, azimuth=0.0, elevation=0.3, radius=None, center=None,
                width=640, height=480, mode="normal", markers=False, cloud=False,
-               axes=False, grid=False, fov_f=0.9):
+               axes=False, grid=False, fov_f=0.9, cloud_mode="rgb"):
         """Render one view; returns [H,W,3] uint8."""
         import jax
 
@@ -140,6 +151,22 @@ class SceneRenderer:
             a["alphas"][self.slices["markers"]] = 0.0
         if not cloud and "cloud" in self.slices:
             a["alphas"][self.slices["cloud"]] = 0.0
+        elif cloud and "cloud" in self.slices and cloud_mode != "rgb":
+            # reference CloudItem color modes (cloud_item.py settings combo):
+            # flat single color, grayscale intensity, height rainbow
+            cs = self.slices["cloud"]
+            if cloud_mode == "flat":
+                a["shs"][cs, :3] = (np.float32([0.95, 0.85, 0.25]) - 0.5) / _SH_C0
+            elif cloud_mode == "intensity":
+                rgb = a["shs"][cs, :3] * _SH_C0 + 0.5
+                lum = (0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1]
+                       + 0.0722 * rgb[:, 2])[:, None]
+                a["shs"][cs, :3] = (lum - 0.5) / _SH_C0
+            elif cloud_mode == "rainbow" and self._cloud_z is not None:
+                from easygaussiansplatting_tpu.utils.image import rainbow_sh
+
+                z = self._cloud_z
+                a["shs"][cs, :3] = rainbow_sh(z, float(z.min()), float(z.max()) + 1e-6)
         if mode == "ball":
             # hard opaque discs (reference gau_frag.glsl:31-34: alpha' > 0.3
             # -> 1): saturate opacity, tighten the footprint
@@ -205,6 +232,7 @@ class SceneRenderer:
             "backend": self.backend,
             "sh_degree": self.sh_degree,
             "modes": list(MODES),
+            "cloud_modes": ["rgb", "flat", "intensity", "rainbow"],
         }
 
 
@@ -257,6 +285,7 @@ def make_handler(renderer):
                         axes=q.get("axes", "0") == "1",
                         grid=q.get("grid", "0") == "1",
                         fov_f=float(q.get("fov", 0.9)),
+                        cloud_mode=q.get("cloud_mode", "rgb"),
                     )
                     body, ctype = _encode(img, q.get("fmt", "jpeg"))
                     self._send(200, body, ctype)

@@ -26,9 +26,9 @@ def main():
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--gs", help="gaussians (.ply/.npy); default: example fixture")
-    ap.add_argument("--path", help="COLMAP dataset dir: overlay its camera "
-                                   "positions as markers (reference shows "
-                                   "textured frusta in its GL viewer)")
+    ap.add_argument("--path", help="COLMAP dataset dir: overlay its cameras "
+                                   "as oriented, image-textured frusta "
+                                   "(reference camera_frame_item.py)")
     ap.add_argument("--skip", type=int, default=5,
                     help="show every skip-th dataset camera (reference --skip)")
     ap.add_argument("--frames", type=int, default=36)
@@ -68,13 +68,25 @@ def main():
     if args.serve:
         from easygaussiansplatting_tpu.viewer.server import SceneRenderer, serve
 
-        dataset_cameras, cloud = (), None
+        dataset_cameras, dataset_images, cloud = (), None, None
         if args.path:
-            from easygaussiansplatting_tpu.data.dataset import load_colmap_dataset
+            from easygaussiansplatting_tpu.data.dataset import (
+                load_colmap_dataset,
+                load_image,
+            )
             from easygaussiansplatting_tpu.data.gau_io import recarray_to_arrays
 
             ds = load_colmap_dataset(args.path, load_images=False)
             dataset_cameras = ds.cameras
+            # lazy thumbnails for the frustum image planes: only the shown
+            # (every skip-th) cameras, at 1/8 resolution
+            dataset_images = [None] * len(ds.cameras)
+            if ds.image_paths:
+                for i in range(0, len(ds.cameras), max(1, args.skip)):
+                    try:
+                        dataset_images[i] = load_image(ds.image_paths[i], 0.125)
+                    except OSError:
+                        pass
             # SfM points as a fixed-size point-cloud overlay (reference
             # CloudItem); reuse the init gaussians' positions/colors
             c = recarray_to_arrays(ds.gs)
@@ -88,7 +100,8 @@ def main():
                 "shs": np.asarray(c["shs"], np.float32).reshape(len(c["pws"]), -1)[:, :3],
             }
         renderer = SceneRenderer(
-            a, dataset_cameras=dataset_cameras, cloud=cloud,
+            a, dataset_cameras=dataset_cameras, dataset_images=dataset_images,
+            cloud=cloud,
             backend=None if args.backend == "pallas" else args.backend,
             marker_skip=args.skip,
         )

@@ -10,6 +10,12 @@ virtual devices time-share one host.
     python scripts/bench_scaling.py [--devices 8] [--width 256 --height 192]
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
+
 import argparse
 import json
 import os

@@ -4,6 +4,12 @@ Times each binning sub-stage and each backward component inside real jitted
 programs (micro-benchmarks of isolated gather/scatter on this backend report
 bogus times; see CLAUDE.md)."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
+
 import time
 
 import jax

@@ -7,6 +7,12 @@ Isolates where the rasteriser wall-clock goes:
   D. binning sub-steps (argsort N, expansion, patch sort, layout scatter)
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
+
 import time
 from functools import partial
 

@@ -1,5 +1,11 @@
 """Breakdown timing of the bench-scale pipeline on the current backend."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
+
 import time
 
 import jax
@@ -27,7 +33,7 @@ def timeit(label, fn, *args, iters=5):
 
 
 def main(width=979, height=546, n_gaussians=65536, max_patches=786432,
-         max_rows=262144, k_chunk=128):
+         max_rows=262144, k_chunk=512):
     scene = make_synthetic_scene(seed=0, n_gaussians=n_gaussians, n_cams=1, width=width,
                                  height=height, log_scale_mean=-3.6)
     cam = scene["cameras"][0]

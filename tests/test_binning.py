@@ -154,3 +154,35 @@ def test_ellipse_culling_shrinks_but_preserves_image(rng):
         culled["patch_gsid"], culled["tile_start"], culled["tile_cnt"],
         width=width, height=height, tile=16, k_chunk=64, n_chunks=16)
     np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_a), atol=1e-6)
+
+
+def test_gsid_counts_match_histogram():
+    """binning's per-gaussian kept-patch counts == histogram of patch_gsid
+    (they drive the sort-reduce gradient path's segment-end positions)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene
+    from easygaussiansplatting_tpu.ops import stages
+    from easygaussiansplatting_tpu.ops.binning import bin_gaussians
+
+    scene = make_synthetic_scene(seed=4, n_gaussians=96, n_cams=1, width=64, height=48)
+    cam = scene["cameras"][0]
+    aux = stages.preprocess(
+        jnp.asarray(scene["pws"], jnp.float32), jnp.asarray(scene["shs"], jnp.float32),
+        jnp.asarray(scene["alphas"], jnp.float32), jnp.asarray(scene["scales"], jnp.float32),
+        jnp.asarray(scene["rots"], jnp.float32), cam, sh_degree=0,
+    )
+    for max_patches, max_rows in [(2048, 2048), (128, 128)]:  # ample + overflowing
+        b = bin_gaussians(
+            aux["us"], aux["depths"], aux["areas"], aux["valid"],
+            width=64, height=48, max_patches=max_patches, max_rows=max_rows,
+            cinv2ds=aux["cinv2ds"], alphas=aux["alphas"], gsid_counts=True,
+        )
+        gsid = np.asarray(b["patch_gsid"])
+        counts = np.asarray(b["gsid_counts"])
+        hist = np.bincount(gsid[gsid >= 0], minlength=96)
+        np.testing.assert_array_equal(counts, hist)
+        # segment-end invariant: patches are tile-sorted, but the counts
+        # drive end positions in a gsid-sorted view
+        assert counts.sum() == (gsid >= 0).sum()

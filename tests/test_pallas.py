@@ -156,3 +156,29 @@ def test_pallas_saturation_and_multichunk(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-3 * scale, err_msg=f"grad {name}"
         )
+
+
+def test_pallas_subchunked_kernels_match(rng):
+    """k_chunk > 128 triggers the sub-chunked kernel path (multiple 128-row
+    sub-chunks per block, scalar-gated) — must be bit-identical in structure
+    to the single-chunk path."""
+    cam = Camera.from_dict(example_camera())
+    args = _scene(rng, n=90)
+    kw = dict(max_patches=1024, tile=16)
+    img_1, aux_1 = render(*args, cam, backend="pallas", k_chunk=128, **kw)
+    img_4, aux_4 = render(*args, cam, backend="pallas", k_chunk=512, **kw)
+    np.testing.assert_allclose(np.asarray(img_4), np.asarray(img_1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(aux_4["contrib"]), np.asarray(aux_1["contrib"]))
+
+    w = jnp.asarray(np.random.default_rng(3).normal(size=(3, 16, 32)), jnp.float32)
+
+    def loss(kc):
+        def f(*a):
+            im, _ = render(*a, cam, backend="pallas", k_chunk=kc, **kw)
+            return jnp.sum(im * w)
+        return f
+
+    g1 = jax.grad(loss(128), argnums=(0, 2))(*args)
+    g4 = jax.grad(loss(512), argnums=(0, 2))(*args)
+    for a, b in zip(g1, g4):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)

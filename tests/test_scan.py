@@ -37,3 +37,28 @@ def test_batched_cumsum_list(rng):
     outs = scan.batched_cumsum(arrays)
     for a, o in zip(arrays, outs):
         np.testing.assert_array_equal(np.asarray(o), np.cumsum(np.asarray(a)))
+
+
+def test_segmented_cumsum_matches_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from easygaussiansplatting_tpu.ops.pallas.scan import (
+        _seg_cumsum_ref,
+        segmented_cumsum,
+    )
+
+    rng = np.random.default_rng(0)
+    r, m = 4, 512
+    vals = rng.normal(size=(r, m)).astype(np.float32)
+    flags = (rng.random(m) < 0.1).astype(np.int32)
+    flags[0] = 1
+    want = np.zeros_like(vals)
+    run = np.zeros(r, np.float32)
+    for i in range(m):
+        run = np.where(flags[i], 0.0, run) + vals[:, i]
+        want[:, i] = run
+    got = np.asarray(segmented_cumsum(jnp.asarray(vals), jnp.asarray(flags)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    ref = np.asarray(_seg_cumsum_ref(jnp.asarray(vals), jnp.asarray(flags)))
+    np.testing.assert_allclose(ref, want, atol=1e-5)

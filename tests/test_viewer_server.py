@@ -120,3 +120,94 @@ def test_axis_grid_overlays(renderer):
     with_grid = renderer.render(grid=True, **kw)
     assert not np.array_equal(plain, with_axes)
     assert not np.array_equal(plain, with_grid)
+
+
+def test_camera_frusta_geometry():
+    """Frusta are oriented and image-bearing (reference
+    camera_frame_item.py parity): texels sit exactly on the image plane at
+    the frustum depth, carry the photograph's colors, and follow the
+    camera's orientation; 8 wireframe segments per camera."""
+    from easygaussiansplatting_tpu.viewer.headless import camera_frusta
+
+    cams = [
+        look_at_camera(p, np.zeros(3), 64, 48, 60.0, cam_id=i)
+        for i, p in enumerate(np.array([[2.0, 0.0, 0.5], [0.0, 2.0, 0.5]]))
+    ]
+    img = np.zeros((3, 48, 64), np.float32)
+    img[0] = 1.0  # pure red photo for camera 0
+    f = camera_frusta(cams, images=[img, None], plane_frac=0.1, tex_wh=(8, 6))
+
+    n_seg_per_cam = 8
+    n_tex = 8 * 6
+    assert len(f["pws"]) == 2 * n_seg_per_cam + n_tex
+
+    # texels of camera 0: all at the same camera-frame depth (on the plane)
+    tex = f["pws"][n_seg_per_cam:n_seg_per_cam + n_tex]
+    cam0 = cams[0]
+    pc = (np.asarray(cam0.Rcw) @ tex.T).T + np.asarray(cam0.tcw)
+    assert np.allclose(pc[:, 2], pc[0, 2], atol=1e-5)  # planar
+    assert pc[0, 2] > 0  # in front of the camera
+    # photograph colors: red texels => SH0 encodes (1,0,0)
+    sh_c0 = 0.28209479177387814
+    rgb = f["shs"][n_seg_per_cam:n_seg_per_cam + n_tex] * sh_c0 + 0.5
+    assert np.allclose(rgb[:, 0], 1.0, atol=1e-5)
+    assert np.allclose(rgb[:, 1:], 0.0, atol=1e-5)
+    # orientation: texel gaussians use the camera's rotation (thin normal
+    # axis aligned with the optical axis)
+    from easygaussiansplatting_tpu.data.gau_io import quaternion_to_matrix
+
+    R = quaternion_to_matrix(f["rots"][n_seg_per_cam:n_seg_per_cam + 1])[0]
+    np.testing.assert_allclose(R, np.asarray(cam0.Rcw).T, atol=1e-5)
+    # wireframe segments are elongated (line-like): one long axis
+    seg_scales = f["scales"][:n_seg_per_cam]
+    assert np.all(seg_scales[:, 0] > 4 * seg_scales[:, 1])
+
+
+def test_cloud_color_modes(renderer):
+    kw = dict(azimuth=0.7, elevation=0.3, width=64, height=48, cloud=True)
+    rgb = renderer.render(cloud_mode="rgb", **kw)
+    cache_before = len(renderer._jit_cache)
+    flat = renderer.render(cloud_mode="flat", **kw)
+    inten = renderer.render(cloud_mode="intensity", **kw)
+    rain = renderer.render(cloud_mode="rainbow", **kw)
+    assert not np.array_equal(rgb, flat)
+    assert not np.array_equal(rgb, inten)
+    assert not np.array_equal(rgb, rain)
+    assert len(renderer._jit_cache) == cache_before  # no recompile
+
+
+def test_training_monitor_live():
+    """One tiny training epoch with the monitor attached: the HTTP endpoints
+    must serve the latest frame and history (reference train.py:62-66 live
+    preview parity)."""
+    import dataclasses
+
+    from easygaussiansplatting_tpu.data.synthetic import make_synthetic_scene, render_gt_images
+    from easygaussiansplatting_tpu.models.gaussians import pool_from_arrays
+    from easygaussiansplatting_tpu.train import TrainConfig, train
+    from easygaussiansplatting_tpu.viewer.monitor import TrainingMonitor
+
+    cfg = dataclasses.replace(
+        TrainConfig(), epochs=1, max_patches=2048, k_chunk=32, n_chunks=4,
+        backend="tiled", densify_every_epochs=100, reset_alpha_every_epochs=100,
+    )
+    scene = make_synthetic_scene(seed=6, n_gaussians=24, n_cams=2, width=48, height=32)
+    gts = render_gt_images(scene, cfg)
+    pool = pool_from_arrays(
+        pws=scene["pws"], rots=scene["rots"], scales=scene["scales"],
+        alphas=scene["alphas"], shs=scene["shs"], capacity=32,
+    )
+    mon = TrainingMonitor(scene["cameras"][0], cfg, port=0, log_fn=lambda *_: None)
+    try:
+        train(pool, scene["cameras"], gts, cfg, scene["scene_size"],
+              log_fn=lambda *_: None, eval_every=100, epoch_cb=mon.epoch_cb)
+        url = f"http://127.0.0.1:{mon.port}"
+        status, ctype, body = _get(url + "/preview.jpg")
+        assert status == 200 and ctype == "image/jpeg" and len(body) > 100
+        status, _, body = _get(url + "/history")
+        h = json.loads(body)
+        assert h["epoch"] == 1 and len(h["loss"]) == 1
+        status, _, body = _get(url + "/")
+        assert b"training monitor" in body
+    finally:
+        mon.close()

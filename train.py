@@ -44,6 +44,9 @@ def main():
                          "torch detect_anomaly, train.py:11)")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the first epoch")
+    ap.add_argument("--monitor-port", type=int, default=0,
+                    help="serve a live training monitor (latest render + "
+                         "loss/PSNR history) on this port during training")
     ap.add_argument("--preview", action="store_true",
                     help="save a render of camera 0 at each save interval")
     ap.add_argument("--multihost", action="store_true",
@@ -136,7 +139,19 @@ def main():
     def log_fn(msg):
         print(f"{time.strftime('%H:%M:%S')} {msg}", flush=True)
 
-    def save_cb(epoch, pool, adam_state=None, stats=None, key=None):
+    monitor = None
+    if args.monitor_port:
+        # live in-browser preview during training (reference train.py:62-66
+        # shows a matplotlib window per epoch; here the viewer server's
+        # sibling streams the per-epoch render + history)
+        from easygaussiansplatting_tpu.viewer.monitor import TrainingMonitor
+
+        monitor = TrainingMonitor(cameras[0], config, port=args.monitor_port,
+                                  log_fn=log_fn)
+
+    def save_cb(epoch, pool, adam_state=None, stats=None, key=None, history=None):
+        if monitor is not None:
+            monitor.epoch_cb(epoch, pool, history=history)
         if jax.process_count() > 1:
             # collective-free local reassembly (pool layout is data-replicated)
             from easygaussiansplatting_tpu.parallel.distributed import fetch_to_host
