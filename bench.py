@@ -78,6 +78,7 @@ def main():
         image, _ = render(
             *params, cam, backend=backend, tile=16,
             max_patches=max_patches, max_rows=max_rows, k_chunk=512,
+            need_grads=False,
         )
         return jnp.mean(image)  # tiny reduction: one scalar to read back
 

@@ -246,6 +246,7 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     # fall back to a stable two-operand sort.
     mp_bits = max(1, (max_patches - 1).bit_length())
     tids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    on_tpu = jax.default_backend() == "tpu" and us.dtype != jnp.float64
     if (n_tiles + 1) << mp_bits <= 2**31:
         key = (tile_id << mp_bits) | m
         key_sorted, gsid_sorted = jax.lax.sort_key_val(key, gsid)
@@ -253,6 +254,19 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         # per-tile ranges by binary search over the sorted keys (a 1M-index
         # counting scatter costs ~8 ms; 2k binary searches are free)
         bounds = jnp.searchsorted(key_sorted, tids << mp_bits, side="left").astype(jnp.int32)
+    elif on_tpu and bool(int(__import__("os").environ.get("EGS_LEX_SORT", "0"))):
+        # composite key overflows int32 (>2047 tiles at a 2^20 patch
+        # budget — e.g. the 979x546 eval resolution): lexicographic
+        # (tile, slot) two-word key through the Pallas bitonic sort; slot
+        # uniqueness gives the required depth-stability. Measured SLOWER
+        # in-context than XLA's stable variadic sort at 786k patches
+        # (bench 12.77 vs 13.30 Mpix/s) — kept behind EGS_LEX_SORT=1 for
+        # re-evaluation at larger budgets, where the bitonic network's
+        # better scaling may flip the verdict.
+        from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
+
+        tile_sorted, _, gsid_sorted = sort_pairs(tile_id, m, gsid, n_keys=2)
+        bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
     else:
         tile_sorted, gsid_sorted = jax.lax.sort(
             (tile_id, gsid), dimension=0, is_stable=True, num_keys=1

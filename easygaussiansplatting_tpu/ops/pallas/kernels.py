@@ -46,14 +46,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from easygaussiansplatting_tpu.ops.pallas.lanescan import (
     prefix_prod_exclusive,
-    prod_all,
     suffix_prod_inclusive,
-    suffix_sum_exclusive,
 )
 
 ALPHA_CLAMP = 0.99
 ALPHA_SKIP = 0.002
 TAU_STOP = 1e-4
+# log-space transmittance replay in the backward (see backward_kernel):
+# opt-in until the on-chip A/B (speed + 27-check parity gate) lands
+import os as _os
+
+LOG_SCAN = bool(_os.environ.get("EGS_LOG_SCAN"))
 PACK_ROWS = 16  # attribute columns per patch row (see layout above)
 GRAD_ROWS = 16  # kernel grad-block rows ([16,K] keeps full-tile writes);
 GRAD_USED = 9  # only u/conic/alpha/color columns carry data — the VJP
@@ -238,10 +241,29 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             m = rowmask & (idx0 < cont) & (ap >= ALPHA_SKIP)
 
             one_m = jnp.where(m, 1.0 - ap, 1.0)
-            sfx = suffix_prod_inclusive(one_m)  # [SUB,P] (B.2.1)
             tau_end = tau_s[:]
-            tau_ex = tau_end / sfx          # T_{k-1} per entry (B.2.1; drawB division)
-            tau_s[:] = tau_end / sfx[0:1, :]
+            if LOG_SCAN:
+                # suffix product + division in log space: the 7-round
+                # sublane Hillis-Steele scan and the [SUB,P] divide become
+                # one log, one triangular MXU contraction, and one exp —
+                # tau_ex = tau_end * exp(-sum_{j>=k} log(1-ap_j)) (B.2.1).
+                # one_m >= 0.01 (ALPHA_CLAMP), masked rows are exactly 1.0
+                # -> log exactly 0, so masking survives the round-trip.
+                lg = jnp.log(one_m)
+                tri_ge = (
+                    jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+                    >= jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+                ).astype(jnp.float32)
+                lsfx = jax.lax.dot_general(
+                    tri_ge, lg, (((1,), (0,)), ((), ())), precision=_HI,
+                    preferred_element_type=jnp.float32,
+                )  # [SUB,P] inclusive suffix sum of logs
+                tau_ex = tau_end * jnp.exp(-lsfx)
+                tau_s[:] = tau_end * jnp.exp(-lsfx[0:1, :])
+            else:
+                sfx = suffix_prod_inclusive(one_m)  # [SUB,P] (B.2.1)
+                tau_ex = tau_end / sfx      # T_{k-1} per entry (B.2.1; drawB division)
+                tau_s[:] = tau_end / sfx[0:1, :]
 
             contr = jnp.where(m, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
@@ -251,10 +273,20 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                 preferred_element_type=jnp.float32,
             )  # [SUB,P]
             cgw = contr * cg
-            # Gg[k,p] = g . (accumulated color behind entry k) — suffix sum
-            # + carry (B.2.2)
+            # Gg[k,p] = g . (accumulated color behind entry k) — the
+            # exclusive suffix sum (B.2.2) as ONE strictly-upper-triangular
+            # MXU contraction ([SUB,SUB] x [SUB,P]): the 7-round sublane
+            # Hillis-Steele scan was ~1/6 of the kernel's VPU time, and a
+            # linear map belongs on the systolic array
             gag = gag_s[:]
-            Gg = suffix_sum_exclusive(cgw) + gag
+            tri = (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+                > jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+            ).astype(jnp.float32)
+            Gg = jax.lax.dot_general(
+                tri, cgw, (((1,), (0,)), ((), ())), precision=_HI,
+                preferred_element_type=jnp.float32,
+            ) + gag
             gag_s[:] = gag + jnp.sum(cgw, axis=0, keepdims=True)
 
             # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)

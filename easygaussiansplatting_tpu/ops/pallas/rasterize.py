@@ -156,7 +156,10 @@ def _raster_table_bwd(dims, res, cotangents):
     # reference's atomicAdd (gsplatcu/kernel.cu:924-945). Only the 9 used
     # rows (u, conic, alpha, color) are reduced; the table cotangent is
     # zero-padded to PACK_ROWS after.
-    if meta.get("gsid_counts") is not None and not interpret:
+    import os
+
+    if (meta.get("gsid_counts") is not None and not interpret
+            and not os.environ.get("EGS_SCATTER_REDUCE")):
         dtable9 = _sort_reduce_grads(
             rows_ct, gsafe, live, meta["gsid_counts"], n
         )

@@ -60,45 +60,77 @@ def _partner(x, j):
     return jnp.where((flat & j) == 0, dn, up)
 
 
-def _stage(gflat, keys, vals, j, k):
+def _lex_lt_gt(pks, ks):
+    """partner-less-than / greater-than under lexicographic multi-word
+    compare (word 0 most significant)."""
+    lt = pks[0] < ks[0]
+    eq = pks[0] == ks[0]
+    for pk, k in zip(pks[1:], ks[1:]):
+        lt = lt | (eq & (pk < k))
+        eq = eq & (pk == k)
+    return lt, ~lt & ~eq
+
+
+def _stage(gflat, keys, vals, j, k, n_keys):
     """One bitonic compare-exchange stage at distance j inside sequences of
-    length k, on one [sub, 128] block (j < block)."""
-    pk = _partner(keys, j)
+    length k, on one [sub, 128] block (j < block). The first n_keys arrays
+    are compared lexicographically; the rest ride as payload."""
+    pks = [_partner(x, j) for x in keys[:n_keys]]
     is_lower = (gflat & j) == 0
     asc = (gflat & k) == 0
     want_min = is_lower == asc
+    lt, gt = _lex_lt_gt(pks, keys[:n_keys])
     # (Mosaic cannot select between two i1 vectors — use boolean algebra)
-    take = (want_min & (pk < keys)) | (~want_min & (pk > keys))
-    keys = jnp.where(take, pk, keys)
+    take = (want_min & lt) | (~want_min & gt)
+    keys = [jnp.where(take, pk, x) for pk, x in zip(pks, keys[:n_keys])]
     vals = [jnp.where(take, _partner(v, j), v) for v in vals]
     return keys, vals
 
 
-def _local_kernel(*refs, block, n_arrays, seq_from, seq_to):
+def _local_kernel(*refs, block, n_arrays, n_keys, seq_from, seq_to,
+                  live_blocks=None):
     """All stages with seq in [seq_from, seq_to] and j < block, in VMEM.
 
     seq_from == 2: full local bitonic sort. seq_from == seq_to > block: the
-    in-block tail (j = block/2 .. 1) of one merge round.
+    in-block tail (j = block/2 .. 1) of one merge round. `live_blocks` is
+    for the INITIAL local sort only: before any merging, blocks at or past
+    it hold only pad-key constants with identical payloads, so they copy
+    through. It must NOT be applied to merge rounds — descending bitonic
+    runs move pad keys to the run *front*, pushing live elements into tail
+    blocks mid-network.
     """
     ins = refs[:n_arrays]
     outs = refs[n_arrays:]
     sub = block // LANES
     gflat = _flat_iota(sub, pl.program_id(0) * block)
-    keys = ins[0][:]
-    vals = [r[:] for r in ins[1:]]
-    k = seq_from
-    while k <= seq_to:
-        j = min(k // 2, block // 2)
-        while j >= 1:
-            keys, vals = _stage(gflat, keys, vals, j, k)
-            j //= 2
-        k *= 2
-    outs[0][:] = keys
-    for r, v in zip(outs[1:], vals):
-        r[:] = v
+
+    def run():
+        keys = [r[:] for r in ins[:n_keys]]
+        vals = [r[:] for r in ins[n_keys:]]
+        k = seq_from
+        while k <= seq_to:
+            j = min(k // 2, block // 2)
+            while j >= 1:
+                keys, vals = _stage(gflat, keys, vals, j, k, n_keys)
+                j //= 2
+            k *= 2
+        for r, v in zip(outs, keys + vals):
+            r[:] = v
+
+    if live_blocks is None:
+        run()
+    else:
+        @pl.when(pl.program_id(0) < live_blocks)
+        def _():
+            run()
+
+        @pl.when(pl.program_id(0) >= live_blocks)
+        def _():
+            for r, i in zip(outs, ins):
+                r[:] = i[:]
 
 
-def _cross_kernel(*refs, block, n_arrays, j, k):
+def _cross_kernel(*refs, block, n_arrays, n_keys, j, k):
     """One cross-block stage: j >= block, partner block loaded via second
     BlockSpec; each program writes only its own block."""
     mine = refs[:n_arrays]
@@ -106,23 +138,26 @@ def _cross_kernel(*refs, block, n_arrays, j, k):
     outs = refs[2 * n_arrays :]
     sub = block // LANES
     gflat = _flat_iota(sub, pl.program_id(0) * block)
-    keys = mine[0][:]
-    pk = other[0][:]
+    pks = [o[:] for o in other[:n_keys]]
+    ks = [m[:] for m in mine[:n_keys]]
     is_lower = (gflat & j) == 0   # block-constant, but vector form is free
     asc = (gflat & k) == 0
     want_min = is_lower == asc
-    take = (want_min & (pk < keys)) | (~want_min & (pk > keys))
-    outs[0][:] = jnp.where(take, pk, keys)
-    for r, m, o in zip(outs[1:], mine[1:], other[1:]):
-        r[:] = jnp.where(take, o[:], m[:])
+    lt, gt = _lex_lt_gt(pks, ks)
+    take = (want_min & lt) | (~want_min & gt)
+    for r, m, o in zip(outs, ks + [x[:] for x in mine[n_keys:]],
+                       pks + [x[:] for x in other[n_keys:]]):
+        r[:] = jnp.where(take, o, m)
 
 
 def _shapes(arrs):
     return [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs]
 
 
-@partial(jax.jit, static_argnames=("block", "interpret", "n_arrays", "group"))
-def _sort_padded(arrs, *, block, interpret, n_arrays, group=None):
+@partial(jax.jit, static_argnames=(
+    "block", "interpret", "n_arrays", "group", "n_keys", "live_blocks"))
+def _sort_padded(arrs, *, block, interpret, n_arrays, group=None, n_keys=1,
+                 live_blocks=None):
     m = arrs[0].shape[0]
     arrs2d = [a.reshape(m // LANES, LANES) for a in arrs]
     if group is None:
@@ -134,12 +169,12 @@ def _sort_padded(arrs, *, block, interpret, n_arrays, group=None):
         group = max(block, min(1 << 16, _pow2_floor((1 << 21) // n_arrays)))
     group = min(group, m)
 
-    def call_local(arrs2d, blk, seq_from, seq_to):
+    def call_local(arrs2d, blk, seq_from, seq_to, live=None):
         sub = blk // LANES
         own = pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         kern = functools.partial(
-            _local_kernel, block=blk, n_arrays=n_arrays,
-            seq_from=seq_from, seq_to=seq_to,
+            _local_kernel, block=blk, n_arrays=n_arrays, n_keys=n_keys,
+            seq_from=seq_from, seq_to=seq_to, live_blocks=live,
         )
         return pl.pallas_call(
             kern,
@@ -158,7 +193,7 @@ def _sort_padded(arrs, *, block, interpret, n_arrays, group=None):
             (sub, LANES), lambda i: (i ^ jb, 0), memory_space=pltpu.VMEM
         )
         kern = functools.partial(
-            _cross_kernel, block=blk, n_arrays=n_arrays, j=j, k=k
+            _cross_kernel, block=blk, n_arrays=n_arrays, n_keys=n_keys, j=j, k=k
         )
         return pl.pallas_call(
             kern,
@@ -170,8 +205,9 @@ def _sort_padded(arrs, *, block, interpret, n_arrays, group=None):
         )(*arrs2d, *arrs2d)
 
     # local bitonic sort of every block (direction bits from the global
-    # iota make adjacent blocks come out counter-directed, ready to merge)
-    arrs2d = call_local(arrs2d, block, 2, block)
+    # iota make adjacent blocks come out counter-directed, ready to merge);
+    # all-padding blocks (constant pad keys) copy through untouched
+    arrs2d = call_local(arrs2d, block, 2, block, live=live_blocks)
     seq = block * 2
     while seq <= m:
         # cross stages beyond the fused-group width: paired-block passes
@@ -194,15 +230,20 @@ def _next_pow2(n):
     return 1 << (n - 1).bit_length()
 
 
-def sort_pairs(keys, *vals, block=32768, interpret=None, pad_key=None):
-    """Sort int32 `keys` ascending, carrying any number of int32/float32
-    payload columns. Not stable (make keys unique for stability).
+def sort_pairs(keys, *vals, n_keys=1, block=32768, interpret=None,
+               pad_key=None, n_live=None):
+    """Sort by int32 `keys` ascending, carrying any number of int32/float32
+    payload columns. With n_keys > 1 the first n_keys arrays (keys plus the
+    leading vals) form one lexicographic multi-word key — the escape hatch
+    when a composite key overflows 31 bits (e.g. binning's (tile, slot) at
+    >2047 tiles). Not stable (make keys unique for stability).
 
     Arrays of any length are padded internally to a power of two with
-    `pad_key` (default INT32_MAX, sorts to the end); the returned arrays
-    keep the padded length **only if** the input length was not a power of
-    two — callers slice `[:m]` themselves (padding sorts after every real
-    key <= pad_key).
+    `pad_key` on the leading key word (default INT32_MAX, which must
+    strictly exceed every real key so padding sorts last); results are
+    sliced back to the input length. `n_live` (default: the input length)
+    marks how many leading elements are real — whole blocks of padding
+    skip their local sort.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -211,6 +252,11 @@ def sort_pairs(keys, *vals, block=32768, interpret=None, pad_key=None):
     if pad_key is None:
         pad_key = jnp.iinfo(jnp.int32).max
     block = min(block, m_pad)
+    if n_live is None:
+        n_live = m
+    live_blocks = -(-n_live // block)
+    if live_blocks >= m_pad // block:
+        live_blocks = None  # nothing to skip
     arrs = [keys] + list(vals)
     if m_pad != m:
         pads = [jnp.full(m_pad - m, pad_key, keys.dtype)] + [
@@ -218,5 +264,6 @@ def sort_pairs(keys, *vals, block=32768, interpret=None, pad_key=None):
         ]
         arrs = [jnp.concatenate([a, p]) for a, p in zip(arrs, pads)]
     out = _sort_padded(tuple(arrs), block=block, interpret=bool(interpret),
-                       n_arrays=len(arrs))
+                       n_arrays=len(arrs), n_keys=n_keys,
+                       live_blocks=live_blocks)
     return [a[:m] for a in out]

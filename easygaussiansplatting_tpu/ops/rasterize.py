@@ -32,7 +32,7 @@ def resolve_backend(backend):
 def raster_from_aux(
     us, cinv2ds, alphas, colors, depths, areas, valid, *,
     width, height, backend="tiled", tile=16, max_patches=2**18, max_rows=None,
-    k_chunk=64, n_chunks=16,
+    k_chunk=64, n_chunks=16, need_grads=True,
 ):
     """Stage 6 alone: bin + rasterise already-preprocessed attributes.
 
@@ -66,8 +66,11 @@ def raster_from_aux(
         # AABB (see bin_gaussians) while patches drop 25-40%
         cinv2ds=cinv2ds, alphas=alphas,
         # the Pallas backward's sort-reduce gradient path needs per-gaussian
-        # patch counts (see _raster_table_bwd)
-        gsid_counts=(backend == "pallas" and jax.default_backend() == "tpu"),
+        # patch counts (see _raster_table_bwd); inference renders
+        # (need_grads=False) skip that work — a backward through one still
+        # works via the XLA scatter fallback
+        gsid_counts=(need_grads and backend == "pallas"
+                     and jax.default_backend() == "tpu"),
     )
 
     if backend == "tiled":
@@ -96,6 +99,7 @@ def render(
     pws, shs, alphas, scales, rots, cam,
     alive=None, us_offset=None, sh_degree=3, backend="tiled",
     tile=16, max_patches=2**18, max_rows=None, k_chunk=64, n_chunks=16,
+    need_grads=True,
 ):
     """Returns (image [3,H,W], aux dict)."""
     aux = stages.preprocess(pws, shs, alphas, scales, rots, cam, alive=alive, sh_degree=sh_degree)
@@ -109,6 +113,6 @@ def render(
         aux["areas"], aux["valid"],
         width=cam.width, height=cam.height, backend=backend, tile=tile,
         max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk,
-        n_chunks=n_chunks,
+        n_chunks=n_chunks, need_grads=need_grads,
     )
     return image, {**aux, **raux}

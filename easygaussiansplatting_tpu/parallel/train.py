@@ -93,7 +93,9 @@ def batched_raster_fn(mesh, config, width, height):
         return image
 
     batched = jax.vmap(one)
-    if config.backend == "pallas":
+    from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
+
+    if resolve_backend(config.backend) == "pallas":
         spec = P("data")
         batched = jax.shard_map(
             batched, mesh=mesh, in_specs=(spec,) * 7, out_specs=spec,
@@ -188,7 +190,9 @@ def make_sharded_render(mesh, config):
             )
             return image
 
-        if config.backend == "pallas":
+        from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
+
+        if resolve_backend(config.backend) == "pallas":
             one = jax.shard_map(
                 one, mesh=mesh, in_specs=(P(),) * 7, out_specs=P(),
                 check_vma=False,

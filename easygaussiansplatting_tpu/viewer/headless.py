@@ -58,7 +58,7 @@ def render_turntable(gs, cameras=None, *, backend="pallas", max_patches=2**20,
     frames = []
     for cam in cameras:
         img, _ = render(*args, cam, backend=backend, max_patches=max_patches,
-                        sh_degree=sh_degree)
+                        sh_degree=sh_degree, need_grads=False)
         frames.append(np.asarray(jax.block_until_ready(img)))
     return frames
 

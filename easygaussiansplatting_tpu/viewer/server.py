@@ -124,7 +124,7 @@ class SceneRenderer:
                 img, _ = render(
                     pws, shs, alphas, scales, rots, cam,
                     backend=self.backend, max_patches=self.max_patches,
-                    sh_degree=self.sh_degree,
+                    sh_degree=self.sh_degree, need_grads=False,
                 )
                 return jnp.clip(img, 0.0, 1.0)
 

@@ -61,7 +61,7 @@ def main():
     rows = []
     for i in range(n):
         cam = cameras[i]
-        img, _ = render(*gs_args, cam, backend=args.backend,
+        img, _ = render(*gs_args, cam, need_grads=False, backend=args.backend,
                         max_patches=args.max_patches, sh_degree=degree)
         gt = jnp.asarray(images[i], jnp.float32)
         img = jnp.clip(img, 0.0, 1.0)

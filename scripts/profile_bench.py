@@ -19,16 +19,21 @@ from easygaussiansplatting_tpu.ops.loss import gau_loss
 from easygaussiansplatting_tpu.ops.rasterize import render
 
 
-def timeit(label, fn, *args, iters=5):
+def timeit(label, fn, *args, iters=5, trials=3):
+    # a VALUE READ after warm-up (not block_until_ready, which the tunneled
+    # backend can satisfy while the compile is still in flight — the first
+    # timed rows then absorb minutes of queued compile); best-of-trials
+    # guards against transient tunnel stalls
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    # a value read: the tunneled backend's block_until_ready can return early
     np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{label:32s} {dt*1e3:9.2f} ms")
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{label:32s} {best*1e3:9.2f} ms", flush=True)
     return out
 
 
@@ -53,10 +58,11 @@ def main(width=979, height=546, n_gaussians=65536, max_patches=786432,
         lambda a: bin_gaussians(
             a["us"], a["depths"], a["areas"], a["valid"],
             width=width, height=height, tile=16, max_patches=max_patches,
-            max_rows=max_rows,
+            max_rows=max_rows, cinv2ds=a["cinv2ds"], alphas=a["alphas"],
+            gsid_counts=True,
         )
     )
-    binning = timeit("binning (sort)", binf, aux)
+    binning = timeit("binning (production args)", binf, aux)
     print(f"{'  total patches':32s} {int(binning['total']):9d}  dropped {int(binning['n_dropped'])}")
 
     fwd = jax.jit(
@@ -73,6 +79,23 @@ def main(width=979, height=546, n_gaussians=65536, max_patches=786432,
 
     l1 = jax.jit(jax.value_and_grad(lambda p: jnp.abs(render(*p, cam, backend='pallas', max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk)[0] - gt).mean()))
     timeit("fwd+bwd (L1 only)", l1, params)
+
+    # in-context ablation of the gradient-reduction strategy: the same full
+    # fwd+bwd step with the sort-reduce swapped for the XLA scatter
+    # (EGS_SCATTER_REDUCE gates the branch inside _raster_table_bwd; a new
+    # jit wrapper forces a retrace so the flag takes effect)
+    import os
+
+    os.environ["EGS_SCATTER_REDUCE"] = "1"
+    try:
+        vg2 = jax.jit(jax.value_and_grad(
+            lambda p: gau_loss(render(*p, cam, backend="pallas",
+                                      max_patches=max_patches,
+                                      max_rows=max_rows,
+                                      k_chunk=k_chunk)[0], gt)))
+        timeit("fwd+bwd (XLA-scatter reduce)", vg2, params)
+    finally:
+        del os.environ["EGS_SCATTER_REDUCE"]
 
 
 if __name__ == "__main__":

@@ -52,3 +52,36 @@ def test_sort_pairs_already_sorted_and_reversed():
     np.testing.assert_array_equal(np.asarray(ks), k)
     ks, = sort_pairs(jnp.asarray(k[::-1].copy()), interpret=True)
     np.testing.assert_array_equal(np.asarray(ks), k)
+
+
+def test_sort_lexicographic_two_word_keys():
+    rng = np.random.default_rng(11)
+    m = 1024
+    hi = rng.integers(0, 5, size=m).astype(np.int32)
+    lo = rng.permutation(m).astype(np.int32)
+    pay = rng.integers(0, 10**6, size=m).astype(np.int32)
+    his, los, pays = sort_pairs(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay),
+        n_keys=2, interpret=True,
+    )
+    his, los, pays = map(np.asarray, (his, los, pays))
+    order = np.lexsort((lo, hi))
+    np.testing.assert_array_equal(his, hi[order])
+    np.testing.assert_array_equal(los, lo[order])
+    np.testing.assert_array_equal(pays, pay[order])
+
+
+def test_sort_live_block_skip():
+    """Trailing pad-constant blocks may skip their local sort without
+    changing the result."""
+    rng = np.random.default_rng(13)
+    n_live = 900
+    pad = np.iinfo(np.int32).max
+    k = np.full(2048, pad, np.int32)
+    k[:n_live] = rng.integers(0, 2**28, size=n_live)
+    v = np.arange(2048, dtype=np.int32)
+    ks, vs = sort_pairs(jnp.asarray(k), jnp.asarray(v), block=1024,
+                        n_live=n_live, interpret=True)
+    ks = np.asarray(ks)
+    np.testing.assert_array_equal(ks, np.sort(k))
+    np.testing.assert_array_equal(k[np.asarray(vs)][:n_live], ks[:n_live])
