@@ -254,6 +254,22 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         # per-tile ranges by binary search over the sorted keys (a 1M-index
         # counting scatter costs ~8 ms; 2k binary searches are free)
         bounds = jnp.searchsorted(key_sorted, tids << mp_bits, side="left").astype(jnp.int32)
+    elif (n_tiles + 1) << mp_bits <= 2**32:
+        # one more bit of headroom through uint32: flipping the sign bit
+        # maps unsigned order onto int32 order, so the composite key still
+        # rides the fast single-key radix sort_key_val (the stable variadic
+        # two-operand sort it replaces measured ~1.5x slower). This is the
+        # bench/eval regime: 2171 tiles x 2^20 patch slots needs 32 bits.
+        sign = jnp.uint32(1 << 31)
+        key_u = (tile_id.astype(jnp.uint32) << mp_bits) | m.astype(jnp.uint32)
+        key = jax.lax.bitcast_convert_type(key_u ^ sign, jnp.int32)
+        key_sorted, gsid_sorted = jax.lax.sort_key_val(key, gsid)
+        ks_u = jax.lax.bitcast_convert_type(key_sorted, jnp.uint32) ^ sign
+        tile_sorted = (ks_u >> mp_bits).astype(jnp.int32)
+        tkeys = jax.lax.bitcast_convert_type(
+            (tids.astype(jnp.uint32) << mp_bits) ^ sign, jnp.int32
+        )
+        bounds = jnp.searchsorted(key_sorted, tkeys, side="left").astype(jnp.int32)
     elif on_tpu and bool(int(__import__("os").environ.get("EGS_LEX_SORT", "0"))):
         # composite key overflows int32 (>2047 tiles at a 2^20 patch
         # budget — e.g. the 979x546 eval resolution): lexicographic

@@ -110,7 +110,10 @@ def _chunk_alpha(data, px, py):
     return ap, (maha_raw, ux, uy, ca, cb, cc, alpha)
 
 
-SUB = 128  # sub-chunk rows: the unit of compute (and of scan depth)
+# sub-chunk rows: the unit of compute (and of scan depth). Smaller halves
+# the tile-boundary overlap waste and drops a scan round, at the cost of
+# more unrolled sub-chunk blocks per kernel; power of two >= 8.
+SUB = int(_os.environ.get("EGS_SUB", "128"))
 
 
 def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,

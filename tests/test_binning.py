@@ -186,3 +186,29 @@ def test_gsid_counts_match_histogram():
         # segment-end invariant: patches are tile-sorted, but the counts
         # drive end positions in a gsid-sorted view
         assert counts.sum() == (gsid >= 0).sum()
+
+
+def test_uint32_key_branch_matches_int31_branch(rng):
+    """When (n_tiles+1) << bits(max_patches) lands in (2^31, 2^32], the
+    composite sort key rides uint32 with the sign bit flipped; the patch
+    lists must match the int31 single-key path bit for bit."""
+    # 128x256 = 32768 tiles (tile=4); mp_bits 15 -> int31 branch,
+    # mp_bits 16 -> uint32 branch
+    width, height, tile = 512, 1024, 4
+    n = 512
+    us = rng.uniform(-20, 530, size=(n, 2))
+    depths = rng.uniform(0.3, 10, size=n)
+    areas = rng.integers(1, 30, size=(n, 2)).astype(np.float64)
+    valid = np.ones(n, bool)
+    args = (jnp.asarray(us, jnp.float32), jnp.asarray(depths, jnp.float32),
+            jnp.asarray(areas, jnp.float32), jnp.asarray(valid))
+    kw = dict(width=width, height=height, tile=tile)
+    a = binning.bin_gaussians(*args, max_patches=32768, **kw)   # int31 path
+    b = binning.bin_gaussians(*args, max_patches=65536, **kw)   # uint32 path
+    assert int(a["n_dropped"]) == 0 and int(b["n_dropped"]) == 0
+    total = int(a["total"])
+    assert total == int(b["total"]) and total > 1000
+    np.testing.assert_array_equal(
+        np.asarray(a["patch_gsid"])[:total], np.asarray(b["patch_gsid"])[:total])
+    np.testing.assert_array_equal(np.asarray(a["tile_start"]), np.asarray(b["tile_start"]))
+    np.testing.assert_array_equal(np.asarray(a["tile_cnt"]), np.asarray(b["tile_cnt"]))
