@@ -57,6 +57,12 @@ TAU_STOP = 1e-4
 import os as _os
 
 LOG_SCAN = bool(_os.environ.get("EGS_LOG_SCAN"))
+# analogous MXU log-space path for the forward's prefix product — riskier
+# than the backward's: tau_ex feeds the contribute >= TAU_STOP *decision*,
+# so exp(sum log) rounding can flip borderline contributor bits vs the
+# sequential product of the tiled/golden backends. Opt-in until the on-chip
+# A/B (speed + full parity gate) decides.
+LOG_SCAN_FWD = bool(_os.environ.get("EGS_LOG_SCAN_FWD"))
 PACK_ROWS = 16  # attribute columns per patch row (see layout above)
 GRAD_ROWS = 16  # kernel grad-block rows ([16,K] keeps full-tile writes);
 GRAD_USED = 9  # only u/conic/alpha/color columns carry data — the VJP
@@ -158,7 +164,24 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             ap, _ = _chunk_alpha(data, px, py)
             m1 = in_seg & (ap >= ALPHA_SKIP)
             one_m = jnp.where(m1, 1.0 - ap, 1.0)
-            tau_ex = tau * prefix_prod_exclusive(one_m)  # [SUB,P] (F.6.3)
+            if LOG_SCAN_FWD:
+                # exclusive prefix product in log space: one log, one
+                # strictly-lower-triangular MXU contraction, one exp —
+                # replaces the 7-round sublane Hillis-Steele scan.
+                # one_m >= 0.01 (ALPHA_CLAMP) and masked rows are exactly
+                # 1.0 -> log exactly 0, so masking survives the round-trip.
+                lg = jnp.log(one_m)
+                tri_lt = (
+                    jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+                    < jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+                ).astype(jnp.float32)
+                pfx = jax.lax.dot_general(
+                    tri_lt, lg, (((1,), (0,)), ((), ())), precision=_HI,
+                    preferred_element_type=jnp.float32,
+                )  # [SUB,P] exclusive prefix sum of logs
+                tau_ex = tau * jnp.exp(pfx)  # (F.6.3)
+            else:
+                tau_ex = tau * prefix_prod_exclusive(one_m)  # [SUB,P] (F.6.3)
             contribute = m1 & (tau_ex >= TAU_STOP)  # (F.6.4)
             wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
@@ -166,12 +189,18 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                 colc, wgt, (((0,), (0,)), ((), ())), precision=_HI,
                 preferred_element_type=jnp.float32,
             )  # [3,P]
-            # contribute-masked whole-sub-chunk product (must match what the
-            # backward's suffix-product replay divides out, B.2.1): a
-            # halving tree reduction costs ~SUB*P multiplies total, vs
-            # 7*SUB*P for the old circular doubling (Mosaic has no
-            # reduce-prod primitive)
-            new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
+            if LOG_SCAN_FWD:
+                # contribute-masked whole-sub-chunk product via the same
+                # logs: a sublane sum reduce + one [1,P] exp
+                new_tau = tau * jnp.exp(jnp.sum(
+                    jnp.where(contribute, lg, 0.0), axis=0, keepdims=True))
+            else:
+                # contribute-masked whole-sub-chunk product (must match what
+                # the backward's suffix-product replay divides out, B.2.1):
+                # a halving tree reduction costs ~SUB*P multiplies total, vs
+                # 7*SUB*P for the old circular doubling (Mosaic has no
+                # reduce-prod primitive)
+                new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
             tau_s[:] = new_tau
             sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
             idx1 = pos_ref[s] + (subc - lo) + 1  # 1-based position in tile list

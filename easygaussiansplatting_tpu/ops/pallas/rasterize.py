@@ -190,9 +190,23 @@ def _sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, n):
 
     m = gsafe.shape[0]
     key = jnp.where(live, gsafe, jnp.iinfo(jnp.int32).max)
-    out = sort_pairs(key, *[rows_ct[i] for i in range(GRAD_USED)])
-    skey = out[0]
-    svals = jnp.stack(out[1:])  # [9, M]
+    import os
+
+    if os.environ.get("EGS_GRAD_PERM"):
+        # Bitonic payload width dominates sort cost (10 columns ~2x the
+        # 2-column time): sort only (key, position), then move the 9
+        # gradient rows with one 64-byte row gather through a transposed
+        # [M,16] view. The per-gaussian sum order changes (slot order vs
+        # whatever the network did), but both are deterministic.
+        skey, pos = sort_pairs(key, jnp.arange(m, dtype=jnp.int32))
+        rows16 = jnp.concatenate(
+            [rows_ct, jnp.zeros((PACK_ROWS - GRAD_USED, m), rows_ct.dtype)]
+        )
+        svals = jnp.take(rows16.T, pos, axis=0).T[:GRAD_USED]  # [9, M]
+    else:
+        out = sort_pairs(key, *[rows_ct[i] for i in range(GRAD_USED)])
+        skey = out[0]
+        svals = jnp.stack(out[1:])  # [9, M]
     flags = jnp.concatenate(
         [jnp.ones(1, jnp.int32), (skey[1:] != skey[:-1]).astype(jnp.int32)]
     )

@@ -1,0 +1,87 @@
+"""Serialized kernel-variant A/B driver for the round-3 perf push.
+
+Runs `python bench.py` once per env-flag variant, strictly serially (two
+concurrent TPU jobs through the tunnel make every measurement garbage —
+CLAUDE.md), and prints a ranked table. Each variant is a different HLO
+program so the persistent compile cache keys them independently; the first
+run of a new variant pays its compile (~1-3 min over the tunnel).
+
+Usage: python scripts/ab_bench.py [--quick] [--only NAME ...]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+VARIANTS = [
+    # name, env overrides (on top of the current tree's defaults)
+    ("base", {}),
+    ("logscan_bwd", {"EGS_LOG_SCAN": "1"}),
+    ("logscan_both", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"}),
+    ("sub64", {"EGS_SUB": "64"}),
+    ("grad_perm", {"EGS_GRAD_PERM": "1"}),
+    ("logscan_both_sub64", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
+                            "EGS_SUB": "64"}),
+    ("all", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
+             "EGS_GRAD_PERM": "1"}),
+]
+
+
+def run_variant(name, env_over, timeout_s):
+    env = dict(os.environ)
+    env.update(env_over)
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True,
+            env=env, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"name": name, "error": f"timeout after {timeout_s}s"}
+    wall = time.time() - t0
+    line = None
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            line = ln
+            break
+    if proc.returncode != 0 or line is None:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-5:]
+        return {"name": name, "error": f"rc={proc.returncode}", "tail": tail}
+    rec = json.loads(line)
+    rec["name"] = name
+    rec["wall_s"] = round(wall, 1)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", help="subset of variant names")
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-variant wall timeout (first compile is slow)")
+    args = ap.parse_args()
+
+    results = []
+    for name, env_over in VARIANTS:
+        if args.only and name not in args.only:
+            continue
+        print(f"== {name} {env_over} ...", flush=True)
+        rec = run_variant(name, env_over, args.timeout)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    ok = [r for r in results if "value" in r]
+    ok.sort(key=lambda r: -r["value"])
+    print("\n== ranked ==")
+    for r in ok:
+        print(f"{r['name']:22s} {r['value']:7.2f} Mpix/s  "
+              f"fwd {r.get('fwd_throughput', 0):7.2f}  ({r['wall_s']}s)")
+    for r in results:
+        if "error" in r:
+            print(f"{r['name']:22s} ERROR {r['error']} {r.get('tail', '')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -182,3 +182,42 @@ def test_pallas_subchunked_kernels_match(rng):
     g4 = jax.grad(loss(512), argnums=(0, 2))(*args)
     for a, b in zip(g1, g4):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+@pytest.mark.parametrize("perm", [False, True])
+def test_sort_reduce_grads_matches_scatter(rng, perm, monkeypatch):
+    """The TPU gradient-accumulation path (sort + segmented sum, both payload
+    transports) must equal the XLA scatter-add oracle."""
+    if perm:
+        monkeypatch.setenv("EGS_GRAD_PERM", "1")
+    else:
+        monkeypatch.delenv("EGS_GRAD_PERM", raising=False)
+    from easygaussiansplatting_tpu.ops.pallas.rasterize import (
+        GRAD_USED, _sort_reduce_grads,
+    )
+
+    n, m = 37, 512
+    # patch->gaussian map with the real structure: per-gaussian patches
+    # contiguous in slot order, a dead tail, and some gaussians unused
+    counts = rng.integers(0, 40, size=n).astype(np.int32)
+    counts[rng.integers(0, n, size=5)] = 0
+    gsid = np.concatenate([np.full(c, g, np.int32) for g, c in enumerate(counts)])
+    gsid = gsid[:m]
+    counts = np.bincount(gsid, minlength=n).astype(np.int32)
+    live = np.zeros(m, bool)
+    live[: gsid.shape[0]] = True
+    gsafe = np.zeros(m, np.int32)
+    gsafe[: gsid.shape[0]] = gsid
+    # patches arrive tile-sorted (arbitrary permutation of the slot order)
+    perm_idx = rng.permutation(m)
+    rows = rng.normal(size=(GRAD_USED, m)).astype(np.float32)
+    rows[:, ~live[perm_idx]] = 0.0
+
+    got = _sort_reduce_grads(
+        jnp.asarray(rows), jnp.asarray(gsafe[perm_idx]),
+        jnp.asarray(live[perm_idx]), jnp.asarray(counts), n,
+    )
+    want = np.zeros((GRAD_USED, n), np.float32)
+    np.add.at(want.T, gsafe[perm_idx][live[perm_idx]],
+              rows.T[live[perm_idx]])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
