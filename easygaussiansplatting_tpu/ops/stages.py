@@ -127,8 +127,12 @@ def sh2color(shs, pws, twc, degree=3):
     basis = sh_basis(jnp, ray[:, 0], ray[:, 1], ray[:, 2], degree)
     sh_rgb = shs.reshape(shs.shape[0], n_bases, 3)
     b = jnp.stack(basis[:n_bases], axis=1)  # [N, n_bases]
-    # full fp32: MXU bf16 default precision is too coarse for 1e-4 gradient parity
-    return 0.5 + jnp.einsum("nk,nkc->nc", b, sh_rgb, precision=jax.lax.Precision.HIGHEST)
+    # elementwise multiply + sum, NOT einsum/dot_general: a batch of 65k
+    # (1 x n_bases)x(n_bases x 3) matmuls is the worst possible MXU shape
+    # (contraction 16, tiles 128) — the VPU reduction fuses into the
+    # surrounding elementwise preprocess instead. Plain fp32 adds, so the
+    # 1e-4 gradient-parity contract is unaffected.
+    return 0.5 + jnp.sum(b[:, :, None] * sh_rgb, axis=1)
 
 
 def inverse_cov2d(cov2ds):
