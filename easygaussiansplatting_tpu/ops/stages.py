@@ -28,7 +28,17 @@ def project(pws, Rcw, tcw, fx, fy, cx, cy):
     Returns (us [N,2], pcs [N,3], depths [N]) per (F.1.1)-(F.1.2),
     docs/forward.md. Parity target: /root/reference/gsplatcu/kernel.cu:553-617.
     """
-    pcs = jnp.matmul(pws, Rcw.T, precision=jax.lax.Precision.HIGHEST) + tcw
+    # explicit 9-term elementwise contraction, NOT matmul: [N,3]x[3,3] has
+    # contraction dim 3 — the MXU needs ~128 to pay for itself, and the VPU
+    # form fuses with the projective divide below
+    pcs = jnp.stack(
+        [
+            pws[:, 0] * Rcw[c, 0] + pws[:, 1] * Rcw[c, 1]
+            + pws[:, 2] * Rcw[c, 2] + tcw[c]
+            for c in range(3)
+        ],
+        axis=1,
+    )
     z = pcs[:, 2]
     zsafe = jnp.where(z >= MIN_DEPTH, z, 1.0)
     us = jnp.stack(
