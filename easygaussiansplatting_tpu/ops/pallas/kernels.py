@@ -68,6 +68,21 @@ GRAD_ROWS = 16  # kernel grad-block rows ([16,K] keeps full-tile writes);
 GRAD_USED = 9  # only u/conic/alpha/color columns carry data — the VJP
 # scatter moves just these
 _HI = jax.lax.Precision.HIGHEST
+# Precision of the [SUB,SUB] x [SUB,P] triangular-matrix contractions (the
+# MXU scans). The 0/1 triangular operand is EXACT in a single bf16 pass, so
+# "mixed" = (DEFAULT, HIGHEST) asks XLA for 1x3 passes instead of HIGHEST's
+# 3x3 — same fp32-accurate product sums (tri contributes no rounding), half
+# the systolic-array time. Opt-in until the on-chip A/B + parity gate lands.
+TRI_PREC = _os.environ.get("EGS_TRI_PREC", "highest")
+
+
+def _tri_dot(tri, x):
+    """0/1 triangular [S,S] contracted with [S,P] — the MXU scan primitive."""
+    prec = ((jax.lax.Precision.DEFAULT, _HI) if TRI_PREC == "mixed" else _HI)
+    return jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())), precision=prec,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _pixel_coords(t, gx, tile, p):
@@ -175,10 +190,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                     jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
                     < jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
                 ).astype(jnp.float32)
-                pfx = jax.lax.dot_general(
-                    tri_lt, lg, (((1,), (0,)), ((), ())), precision=_HI,
-                    preferred_element_type=jnp.float32,
-                )  # [SUB,P] exclusive prefix sum of logs
+                pfx = _tri_dot(tri_lt, lg)  # [SUB,P] excl. prefix sum of logs
                 tau_ex = tau * jnp.exp(pfx)  # (F.6.3)
             else:
                 tau_ex = tau * prefix_prod_exclusive(one_m)  # [SUB,P] (F.6.3)
@@ -286,10 +298,7 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                     jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
                     >= jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
                 ).astype(jnp.float32)
-                lsfx = jax.lax.dot_general(
-                    tri_ge, lg, (((1,), (0,)), ((), ())), precision=_HI,
-                    preferred_element_type=jnp.float32,
-                )  # [SUB,P] inclusive suffix sum of logs
+                lsfx = _tri_dot(tri_ge, lg)  # [SUB,P] incl. suffix sum of logs
                 tau_ex = tau_end * jnp.exp(-lsfx)
                 tau_s[:] = tau_end * jnp.exp(-lsfx[0:1, :])
             else:
@@ -315,10 +324,7 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                 jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
                 > jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
             ).astype(jnp.float32)
-            Gg = jax.lax.dot_general(
-                tri, cgw, (((1,), (0,)), ((), ())), precision=_HI,
-                preferred_element_type=jnp.float32,
-            ) + gag
+            Gg = _tri_dot(tri, cgw) + gag
             gag_s[:] = gag + jnp.sum(cgw, axis=0, keepdims=True)
 
             # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)

@@ -27,6 +27,11 @@ VARIANTS = [
                             "EGS_SUB": "64"}),
     ("all", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
              "EGS_GRAD_PERM": "1"}),
+    # triangular-contraction precision: (DEFAULT, HIGHEST) halves the MXU
+    # passes (the 0/1 operand is exact in one bf16 pass)
+    ("tri_mixed", {"EGS_TRI_PREC": "mixed"}),
+    ("logscan_tri_mixed", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
+                           "EGS_TRI_PREC": "mixed"}),
 ]
 
 
