@@ -32,6 +32,11 @@ VARIANTS = [
     ("tri_mixed", {"EGS_TRI_PREC": "mixed"}),
     ("logscan_tri_mixed", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
                            "EGS_TRI_PREC": "mixed"}),
+    # smaller sub-chunks: less tile-boundary overlap + one fewer scan round
+    # (VPU-scan path; tri matmuls below 64 underfill the systolic array)
+    ("sub32", {"EGS_SUB": "32"}),
+    ("all_tri", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
+                 "EGS_GRAD_PERM": "1", "EGS_TRI_PREC": "mixed"}),
 ]
 
 
