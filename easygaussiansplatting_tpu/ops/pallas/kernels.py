@@ -74,6 +74,12 @@ _HI = jax.lax.Precision.HIGHEST
 # 3x3 — same fp32-accurate product sums (tri contributes no rounding), half
 # the systolic-array time. Opt-in until the on-chip A/B + parity gate lands.
 TRI_PREC = _os.environ.get("EGS_TRI_PREC", "highest")
+# Precision of the two matmuls whose BOTH operands carry real data (forward
+# color accumulation, backward dcolor): "high" = 3 systolic passes (~fp32
+# accurate: only the lo*lo significance term is dropped) vs HIGHEST's 6.
+# Opt-in accuracy/speed trade pending the on-chip parity gate.
+DOT_PREC = _os.environ.get("EGS_DOT_PREC", "highest")
+_DOT = jax.lax.Precision.HIGH if DOT_PREC == "high" else jax.lax.Precision.HIGHEST
 
 
 def _tri_dot(tri, x):
@@ -86,14 +92,23 @@ def _tri_dot(tri, x):
 
 
 def _pixel_coords(t, gx, tile, p):
-    """Pixel centres of tile t as [1,P] lane-major rows (row-major within
-    the tile: p = y*tile + x)."""
+    """TILE-LOCAL pixel coordinates as [1,P] lane-major rows (row-major
+    within the tile: p = y*tile + x) plus the tile origin (scalars).
+
+    The kernels work in tile-local coordinates: the gaussian means are
+    shifted by the tile origin instead (dx = ux - px is shift-invariant, and
+    so are all the moment identities in B.4). Two wins: (a) fp32 keeps more
+    mantissa on the small local values than on ~1000-pixel global
+    coordinates, and (b) the backward's moment basis (1, x, y, x^2, xy, y^2)
+    becomes small exact integers (<= (tile-1)^2 = 225), i.e. EXACT in one
+    bf16 pass — which is what lets EGS_TRI_PREC=mixed halve the `mom`
+    contraction's systolic passes."""
     tx = t % gx
     ty = t // gx
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    px = (tx * tile + lane % tile).astype(jnp.float32)
-    py = (ty * tile + lane // tile).astype(jnp.float32)
-    return px, py
+    px = (lane % tile).astype(jnp.float32)
+    py = (lane // tile).astype(jnp.float32)
+    return px, py, (tx * tile).astype(jnp.float32), (ty * tile).astype(jnp.float32)
 
 
 def _pix_basis(px, py, p):
@@ -115,10 +130,12 @@ def _prod_reduce(x):
     return x
 
 
-def _chunk_alpha(data, px, py):
-    """alpha' [K,P] and reusables from a packed chunk [K,16]."""
-    ux = data[:, 0:1]
-    uy = data[:, 1:2]
+def _chunk_alpha(data, px, py, ox, oy):
+    """alpha' [K,P] and reusables from a packed chunk [K,16]. `px`/`py` are
+    tile-local; the means are shifted by the tile origin (ox, oy) so dx/dy
+    (and everything downstream) live in the well-conditioned local frame."""
+    ux = data[:, 0:1] - ox
+    uy = data[:, 1:2] - oy
     ca = data[:, 2:3]
     cb = data[:, 3:4]
     cc = data[:, 4:5]
@@ -144,7 +161,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     p = tile * tile
     s = pl.program_id(0)
     t = tile_ref[s]
-    px, py = _pixel_coords(t, gx, tile, p)
+    px, py, ox, oy = _pixel_coords(t, gx, tile, p)
 
     @pl.when(first_ref[s] == 1)
     def _():
@@ -176,7 +193,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # so keep it narrow and let broadcasting pay only one [SUB,P] op
             subc = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) + s0
             in_seg = (subc >= lo) & (subc < hi)  # [SUB,1]
-            ap, _ = _chunk_alpha(data, px, py)
+            ap, _ = _chunk_alpha(data, px, py, ox, oy)
             m1 = in_seg & (ap >= ALPHA_SKIP)
             one_m = jnp.where(m1, 1.0 - ap, 1.0)
             if LOG_SCAN_FWD:
@@ -198,7 +215,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
             img_s[:] = img_s[:] + jax.lax.dot_general(
-                colc, wgt, (((0,), (0,)), ((), ())), precision=_HI,
+                colc, wgt, (((0,), (0,)), ((), ())), precision=_DOT,
                 preferred_element_type=jnp.float32,
             )  # [3,P]
             if LOG_SCAN_FWD:
@@ -237,7 +254,7 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     i = pl.program_id(0)
     rs = q_total - 1 - i  # segments are visited back-to-front
     t = tile_ref[rs]
-    px, py = _pixel_coords(t, gx, tile, p)
+    px, py, ox, oy = _pixel_coords(t, gx, tile, p)
     q = _pix_basis(px, py, p)
 
     # First visit of this tile (its last segment): load the final
@@ -277,7 +294,8 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             cont = cont_ref[0]  # [1,P] int32
             data = packed_ref[s0:s0 + sub, :]  # [SUB,16]
             g = g_ref[0]  # [3,P] dL/dpixel for this tile
-            ap, (maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(data, px, py)
+            ap, (maha_raw, ux, uy, ca, cb, cc, alpha) = _chunk_alpha(
+                data, px, py, ox, oy)  # ux/uy are tile-local (match q)
             subc = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) + s0
             rowmask = (subc >= lo) & (subc < hi)  # [SUB,1] (segment test is
             # row-constant; broadcast against the per-pixel cont below)
@@ -308,11 +326,11 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
 
             contr = jnp.where(m, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
-            # cg[k,p] = sum_c color[k,c] * g[c,p]  (B.5.2)
-            cg = jax.lax.dot_general(
-                colc, g, (((1,), (0,)), ((), ())), precision=_HI,
-                preferred_element_type=jnp.float32,
-            )  # [SUB,P]
+            # cg[k,p] = sum_c color[k,c] * g[c,p]  (B.5.2) — contraction dim
+            # is 3: on the MXU that still pays full systolic passes (~6x the
+            # cost of the 5 VPU broadcast ops it actually needs)
+            cg = (colc[:, 0:1] * g[0:1, :] + colc[:, 1:2] * g[1:2, :]
+                  + colc[:, 2:3] * g[2:3, :])  # [SUB,P]
             cgw = contr * cg
             # Gg[k,p] = g . (accumulated color behind entry k) — the
             # exclusive suffix sum (B.2.2) as ONE strictly-upper-triangular
@@ -325,7 +343,8 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                 > jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
             ).astype(jnp.float32)
             Gg = _tri_dot(tri, cgw) + gag
-            gag_s[:] = gag + jnp.sum(cgw, axis=0, keepdims=True)
+            # Gg[0] = gag + sum_{j>0} cgw[j], so the new carry is free:
+            gag_s[:] = Gg[0:1, :] + cgw[0:1, :]
 
             # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)
             dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
@@ -345,9 +364,13 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # dm[SUB,P] @ basis^T[P,6] -> all six moments at once
             # (contraction dim P=256 uses the systolic array well; six
             # separate lane reductions + five [SUB,P] multiplies were
-            # measured slower)
+            # measured slower). The tile-local basis entries are integers
+            # <= 225 — EXACT in one bf16 pass — so "mixed" drops the basis
+            # operand to DEFAULT with zero rounding cost.
+            mom_prec = ((_HI, jax.lax.Precision.DEFAULT)
+                        if TRI_PREC == "mixed" else _HI)
             mom = jax.lax.dot_general(
-                dm, q, (((1,), (1,)), ((), ())), precision=_HI,
+                dm, q, (((1,), (1,)), ((), ())), precision=mom_prec,
                 preferred_element_type=jnp.float32,
             )  # [SUB,6]: sum dm * {1, x, y, x^2, xy, y^2}
             s0m = mom[:, 0:1]
@@ -367,7 +390,7 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # dcolor[k,c] = sum_p contr[k,p] * g[c,p]  (B.1.1 as one MXU
             # contraction, B.5.1)
             dcolor = jax.lax.dot_general(
-                contr, g, (((1,), (1,)), ((), ())), precision=_HI,
+                contr, g, (((1,), (1,)), ((), ())), precision=_DOT,
                 preferred_element_type=jnp.float32,
             )  # [SUB,3]
 

@@ -37,6 +37,12 @@ VARIANTS = [
     ("sub32", {"EGS_SUB": "32"}),
     ("all_tri", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
                  "EGS_GRAD_PERM": "1", "EGS_TRI_PREC": "mixed"}),
+    # data-operand matmuls (fwd color accumulation, bwd dcolor) at HIGH:
+    # 3 systolic passes instead of 6 (drops only the lo*lo term)
+    ("dot_high", {"EGS_DOT_PREC": "high"}),
+    ("tri_dot", {"EGS_TRI_PREC": "mixed", "EGS_DOT_PREC": "high"}),
+    ("sub32_tri_dot", {"EGS_SUB": "32", "EGS_TRI_PREC": "mixed",
+                       "EGS_DOT_PREC": "high"}),
 ]
 
 
