@@ -221,3 +221,54 @@ def test_sort_reduce_grads_matches_scatter(rng, perm, monkeypatch):
     np.add.at(want.T, gsafe[perm_idx][live[perm_idx]],
               rows.T[live[perm_idx]])
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_far_tile_origin_parity(rng):
+    """Kernels work in tile-local coordinates (kernels._pixel_coords): the
+    means are shifted by the tile origin. Guard the ox/oy plumbing and the
+    fp32-conditioning claim where it matters — tiles whose origins sit ~1000
+    pixels from (0,0), i.e. the far corner of the reference eval resolution
+    (979x546), which no other test reaches (the fixture camera is 32x16)."""
+    w, h = 992, 560
+    cam = Camera.from_dict(dict(
+        example_camera(), width=w, height=h, cx=w / 2.0, cy=h / 2.0,
+        fx=400.0, fy=400.0,
+    ))
+    n = 24
+    # world points that project near the far (right, bottom) image corner
+    zs = 2.0 + rng.uniform(size=n)
+    xs = (rng.uniform(size=n) * 120 + 820 - cam.cx) / cam.fx * zs
+    ys = (rng.uniform(size=n) * 100 + 430 - cam.cy) / cam.fy * zs
+    pws = np.stack([xs, ys, zs], axis=1)
+    rots = rng.normal(size=(n, 4))
+    rots /= np.linalg.norm(rots, axis=1, keepdims=True)
+    args = [jnp.asarray(a, jnp.float32) for a in (
+        pws,
+        rng.normal(size=(n, 3)) * 0.5,
+        1 / (1 + np.exp(-rng.normal(size=n))),
+        np.exp(rng.normal(size=(n, 3)) * 0.3 - 2.8),
+        rots,
+    )]
+    img_p, aux_p = render(*args, cam, **PALLAS)
+    img_t, aux_t = render(*args, cam, **TILED)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=3e-5)
+    np.testing.assert_array_equal(
+        np.asarray(aux_p["contrib"]), np.asarray(aux_t["contrib"]))
+
+    # gradients through the far-origin tiles too
+    wmask = jnp.asarray(rng.normal(size=(3, h, w)), jnp.float32)
+
+    def loss(kw):
+        def f(*a):
+            im, _ = render(*a, cam, **kw)
+            return jnp.sum(im * wmask)
+        return f
+
+    gt = jax.grad(loss(TILED), argnums=(0, 2))(*args)
+    gp = jax.grad(loss(PALLAS), argnums=(0, 2))(*args)
+    for a, b, name in zip(gt, gp, ["pws", "alphas"]):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4 * scale,
+            err_msg=f"grad {name}")
