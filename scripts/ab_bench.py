@@ -16,33 +16,36 @@ import subprocess
 import sys
 import time
 
+# Ordered most-promising-first (the tunnel can die mid-sweep; partial
+# results should cover the best candidates). Rationale per BASELINE.md
+# "Segmented-grid occupancy" + the MXU pass model in kernels.py.
 VARIANTS = [
     # name, env overrides (on top of the current tree's defaults)
     ("base", {}),
+    # triangular-contraction precision: (DEFAULT, HIGHEST) halves the MXU
+    # passes (the 0/1 operand is exact in one bf16 pass)
+    ("tri_mixed", {"EGS_TRI_PREC": "mixed"}),
+    # data-operand matmuls (fwd color accumulation, bwd dcolor) at HIGH:
+    # 3 systolic passes instead of 6 (drops only the lo*lo term)
+    ("dot_high", {"EGS_DOT_PREC": "high"}),
+    ("tri_dot", {"EGS_TRI_PREC": "mixed", "EGS_DOT_PREC": "high"}),
+    # smaller sub-chunks: 65% -> 88% occupancy, two fewer scan rounds
+    # (VPU-scan path; tri matmuls below 64 underfill the systolic array)
+    ("sub32_tri_dot", {"EGS_SUB": "32", "EGS_TRI_PREC": "mixed",
+                       "EGS_DOT_PREC": "high"}),
+    ("sub32", {"EGS_SUB": "32"}),
+    ("sub64", {"EGS_SUB": "64"}),
+    ("logscan_tri_mixed", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
+                           "EGS_TRI_PREC": "mixed"}),
     ("logscan_bwd", {"EGS_LOG_SCAN": "1"}),
     ("logscan_both", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"}),
-    ("sub64", {"EGS_SUB": "64"}),
     ("grad_perm", {"EGS_GRAD_PERM": "1"}),
     ("logscan_both_sub64", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
                             "EGS_SUB": "64"}),
     ("all", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
              "EGS_GRAD_PERM": "1"}),
-    # triangular-contraction precision: (DEFAULT, HIGHEST) halves the MXU
-    # passes (the 0/1 operand is exact in one bf16 pass)
-    ("tri_mixed", {"EGS_TRI_PREC": "mixed"}),
-    ("logscan_tri_mixed", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
-                           "EGS_TRI_PREC": "mixed"}),
-    # smaller sub-chunks: less tile-boundary overlap + one fewer scan round
-    # (VPU-scan path; tri matmuls below 64 underfill the systolic array)
-    ("sub32", {"EGS_SUB": "32"}),
     ("all_tri", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
                  "EGS_GRAD_PERM": "1", "EGS_TRI_PREC": "mixed"}),
-    # data-operand matmuls (fwd color accumulation, bwd dcolor) at HIGH:
-    # 3 systolic passes instead of 6 (drops only the lo*lo term)
-    ("dot_high", {"EGS_DOT_PREC": "high"}),
-    ("tri_dot", {"EGS_TRI_PREC": "mixed", "EGS_DOT_PREC": "high"}),
-    ("sub32_tri_dot", {"EGS_SUB": "32", "EGS_TRI_PREC": "mixed",
-                       "EGS_DOT_PREC": "high"}),
 ]
 
 
