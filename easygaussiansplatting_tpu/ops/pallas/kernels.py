@@ -150,8 +150,13 @@ def _chunk_alpha(data, px, py, ox, oy):
 
 # sub-chunk rows: the unit of compute (and of scan depth). Smaller halves
 # the tile-boundary overlap waste and drops a scan round, at the cost of
-# more unrolled sub-chunk blocks per kernel; power of two >= 8.
+# more unrolled sub-chunk blocks per kernel; power of two >= 8 (validated:
+# a non-power-of-two would make `range(k // sub)` silently skip the
+# trailing k % sub rows of every chunk — corrupt image AND gradients —
+# and break _prod_reduce's halving tree).
 SUB = int(_os.environ.get("EGS_SUB", "128"))
+if SUB < 8 or SUB & (SUB - 1):
+    raise ValueError(f"EGS_SUB must be a power of two >= 8, got {SUB}")
 
 
 def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,

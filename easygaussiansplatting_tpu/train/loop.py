@@ -28,14 +28,18 @@ from easygaussiansplatting_tpu.train.optimizer import adam_init, adam_update, ma
 from easygaussiansplatting_tpu.utils.image import psnr
 
 
-def render_pool_image(pool, cam, config, us_offset=None):
+def render_pool_image(pool, cam, config, us_offset=None, need_grads=True):
+    """need_grads=False for inference-only renders (eval PSNR, previews,
+    monitor frames): skips the gsid_counts sort work the Pallas backward's
+    gradient reduction needs (a VJP through one still works via the XLA
+    scatter fallback)."""
     pws, shs, alphas, scales, rots, alive = pool.activated()
     return render(
         pws, shs, alphas, scales, rots, cam,
         alive=alive, us_offset=us_offset,
         backend=config.backend, tile=config.tile, max_patches=config.max_patches,
         max_rows=config.max_rows, k_chunk=config.k_chunk, n_chunks=config.n_chunks,
-        sh_degree=config.sh_degree,
+        sh_degree=config.sh_degree, need_grads=need_grads,
     )
 
 
@@ -45,7 +49,15 @@ def make_train_step(config: TrainConfig, scene_size: float, max_steps: int,
     if max_patches is not None:
         import dataclasses
 
-        config = dataclasses.replace(config, max_patches=max_patches)
+        # an explicit row budget scales with the patch budget (same growth
+        # factor) so PatchBudget growth relieves BOTH overflow modes
+        max_rows = config.max_rows
+        if max_rows is not None and max_patches != config.max_patches:
+            max_rows = -(-max_rows * max_patches // config.max_patches)
+            max_rows = _round_budget(
+                max_rows, getattr(config, "budget_quantum", 16384))
+        config = dataclasses.replace(
+            config, max_patches=max_patches, max_rows=max_rows)
 
     @jax.jit
     def train_step(pool, adam_state, stats, cam, gt_image):
@@ -71,10 +83,19 @@ def make_train_step(config: TrainConfig, scene_size: float, max_steps: int,
         binning = aux.get("binning")
         if binning is not None:
             # the budget observation: row and patch budgets are the same
-            # number when max_rows is None, so rows drive growth too
+            # number when max_rows is None, so rows drive growth too; with
+            # an explicit max_rows, row pressure is converted into
+            # patch-budget units through the (static) patches/rows ratio so
+            # PatchBudget.update reacts to rows-only overflow as well (the
+            # row budget scales with the patch budget, see above)
             obs = binning["total"]
             if config.max_rows is None:
                 obs = jnp.maximum(obs, binning["total_rows"])
+            else:
+                ratio = config.max_patches / config.max_rows
+                rows_obs = (binning["total_rows"].astype(jnp.float32)
+                            * jnp.float32(ratio)).astype(jnp.int32)
+                obs = jnp.maximum(obs, rows_obs)
             binfo = {
                 "obs": obs,
                 "dropped": binning["n_dropped"] + binning["rows_dropped"],
@@ -295,7 +316,7 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
 
         history["n_alive"].append(int(pool.n_alive()))
         if e % eval_every == 0 or e == config.epochs:
-            img, _ = render_pool_image(pool, cameras[0], config)
+            img, _ = render_pool_image(pool, cameras[0], config, need_grads=False)
             p = float(psnr(jnp.clip(img, 0, 1), jnp.clip(gt_images[0], 0, 1)))
             history["psnr"].append((e, p))
             log_fn(f"[epoch {e}] loss={avg_loss:.5f} psnr={p:.2f} alive={history['n_alive'][-1]}")

@@ -62,7 +62,7 @@ class TrainingMonitor:
 
         from easygaussiansplatting_tpu.train.loop import render_pool_image
 
-        img, _ = render_pool_image(pool, self.cam, self.config)
+        img, _ = render_pool_image(pool, self.cam, self.config, need_grads=False)
         arr = (np.clip(np.transpose(np.asarray(img), (1, 2, 0)), 0, 1) * 255
                ).astype(np.uint8)
         buf = io.BytesIO()

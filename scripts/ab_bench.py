@@ -6,7 +6,7 @@ CLAUDE.md), and prints a ranked table. Each variant is a different HLO
 program so the persistent compile cache keys them independently; the first
 run of a new variant pays its compile (~1-3 min over the tunnel).
 
-Usage: python scripts/ab_bench.py [--quick] [--only NAME ...]
+Usage: python scripts/ab_bench.py [--only NAME ...] [--timeout S]
 """
 
 import argparse

@@ -315,3 +315,33 @@ def test_overflow_warning_and_midepoch_budget_growth():
     assert hist["overflow_steps"][0] >= 16  # every step overflowed until the fix
     assert any("overflow" in m and "WARNING" in m for m in logs)
     assert any("patch budget ->" in m and "mid-epoch" in m for m in logs)
+
+
+def test_rows_only_overflow_grows_row_budget():
+    """An explicitly set max_rows that overflows (while patches fit) must
+    still be surfaced and relieved: the budget observation converts row
+    pressure into patch units, and the grown step scales max_rows with
+    max_patches (code-review r3: rows-only overflow used to log 'growing
+    budget' while growing nothing that mattered)."""
+    cfg = dataclasses.replace(
+        TrainConfig(), epochs=1, max_patches=4096, budget_quantum=64,
+        max_rows=128, k_chunk=32, n_chunks=8, backend="tiled",
+        budget_headroom=1.5, densify_every_epochs=100,
+        reset_alpha_every_epochs=100,
+    )
+    scene = make_synthetic_scene(seed=2, n_gaussians=160, n_cams=32,
+                                 width=48, height=32)
+    gt_images = render_gt_images(scene)
+    pool = pool_from_arrays(
+        pws=scene["pws"], rots=scene["rots"], scales=scene["scales"],
+        alphas=scene["alphas"], shs=scene["shs"], capacity=160,
+    )
+    logs = []
+    pool, hist = train(
+        pool, scene["cameras"], gt_images, cfg, scene["scene_size"],
+        log_fn=logs.append, eval_every=100,
+    )
+    assert hist["overflow_steps"][0] > 0
+    assert any("overflow" in m and "WARNING" in m for m in logs)
+    # the budget DID grow (mid-epoch or at epoch end) off the row pressure
+    assert any("patch budget ->" in m for m in logs)

@@ -140,10 +140,12 @@ def main():
         print(f"{time.strftime('%H:%M:%S')} {msg}", flush=True)
 
     monitor = None
-    if args.monitor_port:
+    if args.monitor_port and jax.process_index() == 0:
         # live in-browser preview during training (reference train.py:62-66
         # shows a matplotlib window per epoch; here the viewer server's
-        # sibling streams the per-epoch render + history)
+        # sibling streams the per-epoch render + history). Process 0 only:
+        # other ranks never feed a frame, and co-hosted ranks would collide
+        # on the port.
         from easygaussiansplatting_tpu.viewer.monitor import TrainingMonitor
 
         monitor = TrainingMonitor(cameras[0], config, port=args.monitor_port,
@@ -173,7 +175,7 @@ def main():
 
                 from easygaussiansplatting_tpu.train.loop import render_pool_image
 
-                img, _ = render_pool_image(pool, cameras[0], config)
+                img, _ = render_pool_image(pool, cameras[0], config, need_grads=False)
                 arr = (np.clip(np.transpose(np.asarray(img), (1, 2, 0)), 0, 1) * 255)
                 Image.fromarray(arr.astype(np.uint8)).save(out / f"preview{epoch:04d}.png")
 
