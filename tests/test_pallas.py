@@ -272,3 +272,38 @@ def test_pallas_far_tile_origin_parity(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4 * scale,
             err_msg=f"grad {name}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [3, 11, 42, 77, 123])
+def test_pallas_parity_seed_fuzz(seed):
+    """Forward + gradient parity vs the tiled-AD backend across random
+    scenes: different seeds exercise different segment layouts (empty
+    tiles, chunk boundaries, saturated pixels, single-entry segments)."""
+    rng = np.random.default_rng(seed)
+    cam = Camera.from_dict(dict(
+        example_camera(), width=64, height=48, cx=32.0, cy=24.0,
+        fx=50.0, fy=50.0,
+    ))
+    args = _scene(rng, n=150)
+    img_t, aux_t = render(*args, cam, **TILED)
+    img_p, aux_p = render(*args, cam, **PALLAS)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t), atol=3e-5)
+    np.testing.assert_array_equal(
+        np.asarray(aux_p["contrib"]), np.asarray(aux_t["contrib"]))
+
+    w = jnp.asarray(rng.normal(size=(3, 48, 64)), jnp.float32)
+
+    def loss(kw):
+        def f(*a):
+            im, _ = render(*a, cam, **kw)
+            return jnp.sum(im * w)
+        return f
+
+    gt = jax.grad(loss(TILED), argnums=(0, 2, 3))(*args)
+    gp = jax.grad(loss(PALLAS), argnums=(0, 2, 3))(*args)
+    for a, b, name in zip(gt, gp, ["pws", "alphas", "scales"]):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4 * scale,
+            err_msg=f"grad {name} seed {seed}")
