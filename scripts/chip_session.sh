@@ -1,0 +1,33 @@
+#!/bin/bash
+# Serialized on-chip round-3 session: baseline bench -> variant A/B ->
+# grad gate on defaults -> grad gate under the A/B winner's flags.
+cd "$(dirname "$0")/.."
+exec > "${EGS_SESSION_LOG:-/tmp/chip_session.log}" 2>&1
+echo "=== chip session start $(date) ==="
+echo "--- base bench ---"
+timeout 3000 python bench.py
+echo "--- A/B sweep ($(date)) ---"
+timeout 18000 python scripts/ab_bench.py | tee /tmp/ab_results.txt
+echo "--- verify_gradients on defaults ($(date)) ---"
+timeout 3000 python verify_gradients.py > /tmp/verify_defaults.log 2>&1
+echo "verify defaults rc=$? ($(grep -c OK /tmp/verify_defaults.log) OK)"
+echo "--- verify_gradients under the A/B winner ($(date)) ---"
+best=$(awk '/== ranked ==/{f=1;next} f{print $1; exit}' /tmp/ab_results.txt)
+echo "winner: $best"
+python - "$best" <<'PY' > /tmp/winner_env.sh
+import sys, importlib.util
+spec = importlib.util.spec_from_file_location("ab", "scripts/ab_bench.py")
+ab = importlib.util.module_from_spec(spec); spec.loader.exec_module(ab)
+env = dict(ab.VARIANTS).get(sys.argv[1], {})
+print(" ".join(f"{k}={v}" for k, v in env.items()))
+PY
+wenv=$(cat /tmp/winner_env.sh)
+echo "winner env: $wenv"
+if [ -n "$wenv" ]; then
+  env $wenv timeout 3000 python verify_gradients.py > /tmp/verify_winner.log 2>&1
+  echo "verify winner rc=$? ($(grep -c OK /tmp/verify_winner.log) OK)"
+else
+  echo "winner is base config; defaults gate covers it"
+fi
+echo "=== chip session done $(date) ==="
+touch /tmp/chip_session_done
