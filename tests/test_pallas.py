@@ -307,3 +307,70 @@ def test_pallas_parity_seed_fuzz(seed):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4 * scale,
             err_msg=f"grad {name} seed {seed}")
+
+
+VARIANT_ENVS = [
+    {"EGS_LOG_SCAN": "1"},
+    {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"},
+    {"EGS_SUB": "32"},
+    {"EGS_SUB": "64"},
+    {"EGS_TRI_PREC": "mixed"},
+    {"EGS_DOT_PREC": "high"},
+    {"EGS_SUB": "32", "EGS_TRI_PREC": "mixed", "EGS_DOT_PREC": "high"},
+]
+
+_VARIANT_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from easygaussiansplatting_tpu.models import Camera
+from easygaussiansplatting_tpu.data import example_camera
+from easygaussiansplatting_tpu.ops.rasterize import render
+
+rng = np.random.default_rng(5)
+cam = Camera.from_dict(example_camera())
+n = 120
+pws = rng.normal(size=(n, 3)) * np.array([1.5, 1.0, 1.5])
+rots = rng.normal(size=(n, 4)); rots /= np.linalg.norm(rots, axis=1, keepdims=True)
+args = [jnp.asarray(a, jnp.float32) for a in (
+    pws, rng.normal(size=(n, 3)) * 0.5,
+    1 / (1 + np.exp(-rng.normal(size=n))),
+    np.exp(rng.normal(size=(n, 3)) * 0.4 - 2.2), rots)]
+kw = dict(backend="pallas", k_chunk=128, max_patches=4096)
+img, _ = render(*args, cam, **kw)
+w = jnp.asarray(np.random.default_rng(7).normal(size=(3, 16, 32)), jnp.float32)
+g = jax.grad(lambda *a: jnp.sum(render(*a, cam, **kw)[0] * w), argnums=(0, 2))(*args)
+np.savez("OUTPATH", img=np.asarray(img), gpws=np.asarray(g[0]), galpha=np.asarray(g[1]))
+"""
+
+
+@pytest.mark.slow
+def test_variant_flags_parity_subprocess(tmp_path):
+    """Every perf-variant env flag must render/differentiate within fp32
+    reassociation tolerance of the default path. Flags are read at module
+    import, so each combo runs in a fresh subprocess (this is the in-repo
+    guard for what scripts/ab_bench.py sweeps on-chip)."""
+    import os
+    import subprocess
+    import sys
+
+    def run(env_over, tag):
+        out = tmp_path / f"{tag}.npz"
+        env = dict(os.environ, **env_over)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        script = _VARIANT_SCRIPT.replace("OUTPATH", str(out))
+        r = subprocess.run([sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, f"{tag}: {r.stderr[-2000:]}"
+        return np.load(out)
+
+    base = run({}, "base")
+    for i, env_over in enumerate(VARIANT_ENVS):
+        got = run(env_over, f"v{i}")
+        tag = str(env_over)
+        np.testing.assert_allclose(got["img"], base["img"], atol=5e-5,
+                                   err_msg=f"img {tag}")
+        for k in ("gpws", "galpha"):
+            scale = max(1.0, np.abs(base[k]).max())
+            np.testing.assert_allclose(got[k], base[k], atol=1e-3 * scale,
+                                       err_msg=f"{k} {tag}")
