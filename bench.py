@@ -56,6 +56,12 @@ def main():
     )
     gt = jnp.zeros((3, height, width), jnp.float32)
     backend = "pallas"
+    # chunk rows per grid step: Q = max_patches/k + n_tiles segments, so
+    # larger k trades fewer chunk-crossing grid steps (per-step fixed cost)
+    # against VMEM block size — sweepable by scripts/ab_bench.py
+    import os
+
+    k_chunk = int(os.environ.get("EGS_KCHUNK", "512"))
     # ~1.4x headroom over the scene's 549k patches — what the trainer's
     # adaptive budget (train.loop.PatchBudget) would converge to
     max_patches = 786432 if on_tpu else 2**14
@@ -66,7 +72,7 @@ def main():
         def loss_fn(params):
             image, _ = render(
                 *params, cam, backend=backend, tile=16,
-                max_patches=max_patches, max_rows=max_rows, k_chunk=512,
+                max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk,
             )
             return gau_loss(image, gt)
 
@@ -77,7 +83,7 @@ def main():
     def fwd_step(params):
         image, _ = render(
             *params, cam, backend=backend, tile=16,
-            max_patches=max_patches, max_rows=max_rows, k_chunk=512,
+            max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk,
             need_grads=False,
         )
         return jnp.mean(image)  # tiny reduction: one scalar to read back

@@ -221,11 +221,15 @@ _raster_table.defvjp(_raster_table_fwd, _raster_table_bwd)
 
 
 def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
-                     tile=16, k_chunk=256, interpret=None):
+                     tile=16, k_chunk=256, interpret=None, table=None):
     """Pallas-backed stage 6.
 
     `binning` is the dict from ops.binning.bin_gaussians; its max_patches
     must be a multiple of k_chunk (after rounding k_chunk up to 128).
+    `table` — optionally the prebuilt [N,16] attribute table (the fused
+    Pallas preprocess emits it directly, ops/pallas/preprocess.py); when
+    given, the us/cinv2ds/alphas/colors args are ignored for packing and
+    the per-arg concatenate below is skipped.
     Returns (image [3,H,W], aux with contrib [H,W] int32, final_tau [H,W]).
     """
     if interpret is None:
@@ -260,11 +264,12 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     # deterministic replacement for the reference's atomicAdd accumulation
     # (gsplatcu/kernel.cu:924-945). Dropped/padding patches (gsid -1) get
     # zero rows -> alpha' = 0 -> no contribution and no gradient.
-    table = jnp.concatenate(
-        [us, cinv2ds, alphas[:, None], colors,
-         jnp.zeros((us.shape[0], PACK_ROWS - 9), jnp.float32)],
-        axis=1,
-    )  # columns: ux uy ca cb cc alpha r g b pad
+    if table is None:
+        table = jnp.concatenate(
+            [us, cinv2ds, alphas[:, None], colors,
+             jnp.zeros((us.shape[0], PACK_ROWS - 9), jnp.float32)],
+            axis=1,
+        )  # columns: ux uy ca cb cc alpha r g b pad
 
     dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
     image_t, tau_t, cont_t = _raster_table(dims, table, gsafe, live, meta)

@@ -32,7 +32,7 @@ def resolve_backend(backend):
 def raster_from_aux(
     us, cinv2ds, alphas, colors, depths, areas, valid, *,
     width, height, backend="tiled", tile=16, max_patches=2**18, max_rows=None,
-    k_chunk=64, n_chunks=16, need_grads=True,
+    k_chunk=64, n_chunks=16, need_grads=True, table=None,
 ):
     """Stage 6 alone: bin + rasterise already-preprocessed attributes.
 
@@ -88,6 +88,7 @@ def raster_from_aux(
         image, raux = rasterize_pallas(
             us, cinv2ds, alphas, colors, binning,
             width=width, height=height, tile=tile, k_chunk=k_chunk,
+            table=table,
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")
@@ -102,17 +103,42 @@ def render(
     need_grads=True,
 ):
     """Returns (image [3,H,W], aux dict)."""
-    aux = stages.preprocess(pws, shs, alphas, scales, rots, cam, alive=alive, sh_degree=sh_degree)
-    us = aux["us"]
-    if us_offset is not None:
-        us = us + us_offset
+    import os
+
+    table = None
+    if os.environ.get("EGS_FUSED_PRE") and resolve_backend(backend) == "pallas":
+        # fused Pallas preprocess (stages 1-5 + table build in one kernel);
+        # opt-in pending the on-chip A/B — see ops/pallas/preprocess.py
+        from easygaussiansplatting_tpu.ops.pallas.preprocess import (
+            fused_preprocess,
+        )
+
+        aux = fused_preprocess(
+            pws, shs, alphas, scales, rots, cam, alive=alive,
+            sh_degree=sh_degree,
+        )
+        table = aux.pop("table")
+        if us_offset is not None:
+            import jax.numpy as jnp
+
+            table = table + jnp.pad(us_offset, ((0, 0), (0, 14)))
+        us = table[:, 0:2]
         aux["us"] = us
+    else:
+        aux = stages.preprocess(
+            pws, shs, alphas, scales, rots, cam, alive=alive,
+            sh_degree=sh_degree,
+        )
+        us = aux["us"]
+        if us_offset is not None:
+            us = us + us_offset
+            aux["us"] = us
 
     image, raux = raster_from_aux(
         us, aux["cinv2ds"], aux["alphas"], aux["colors"], aux["depths"],
         aux["areas"], aux["valid"],
         width=cam.width, height=cam.height, backend=backend, tile=tile,
         max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk,
-        n_chunks=n_chunks, need_grads=need_grads,
+        n_chunks=n_chunks, need_grads=need_grads, table=table,
     )
     return image, {**aux, **raux}

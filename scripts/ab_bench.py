@@ -34,6 +34,14 @@ VARIANTS = [
     ("sub32_tri_dot", {"EGS_SUB": "32", "EGS_TRI_PREC": "mixed",
                        "EGS_DOT_PREC": "high"}),
     ("sub32", {"EGS_SUB": "32"}),
+    # fused Pallas preprocess (stages 1-5 + table build in ONE kernel each
+    # way — attacks the 3-5 ms XLA-op-overhead attribution row)
+    ("fused", {"EGS_FUSED_PRE": "1"}),
+    # larger chunk: fewer chunk-crossing grid steps (Q = M/k + n_tiles);
+    # per-grid-step fixed cost is a prime suspect for the kernels' gap to
+    # their VPU bound (BASELINE.md)
+    ("kchunk1024", {"EGS_KCHUNK": "1024"}),
+    ("kchunk1024_sub64", {"EGS_KCHUNK": "1024", "EGS_SUB": "64"}),
     ("sub64", {"EGS_SUB": "64"}),
     ("logscan_tri_mixed", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
                            "EGS_TRI_PREC": "mixed"}),
@@ -46,6 +54,9 @@ VARIANTS = [
              "EGS_GRAD_PERM": "1"}),
     ("all_tri", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
                  "EGS_GRAD_PERM": "1", "EGS_TRI_PREC": "mixed"}),
+    ("all_tri_fused", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
+                       "EGS_SUB": "64", "EGS_GRAD_PERM": "1",
+                       "EGS_TRI_PREC": "mixed", "EGS_FUSED_PRE": "1"}),
 ]
 
 

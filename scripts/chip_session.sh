@@ -29,5 +29,11 @@ if [ -n "$wenv" ]; then
 else
   echo "winner is base config; defaults gate covers it"
 fi
+echo "--- truck-scale proxy, default preset ($(date)) ---"
+timeout 3600 python scripts/bench_scene.py > /tmp/bench_scene_r3.log 2>&1
+echo "bench_scene rc=$? : $(tail -1 /tmp/bench_scene_r3.log)"
+echo "--- truck-scale proxy, --realism preset ($(date)) ---"
+timeout 3600 python scripts/bench_scene.py --realism > /tmp/bench_scene_r3_realism.log 2>&1
+echo "bench_scene --realism rc=$? : $(tail -1 /tmp/bench_scene_r3_realism.log)"
 echo "=== chip session done $(date) ==="
 touch /tmp/chip_session_done

@@ -317,6 +317,9 @@ VARIANT_ENVS = [
     {"EGS_TRI_PREC": "mixed"},
     {"EGS_DOT_PREC": "high"},
     {"EGS_SUB": "32", "EGS_TRI_PREC": "mixed", "EGS_DOT_PREC": "high"},
+    {"EGS_FUSED_PRE": "1"},
+    {"EGS_FUSED_PRE": "1", "EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
+     "EGS_SUB": "64", "EGS_TRI_PREC": "mixed"},
 ]
 
 _VARIANT_SCRIPT = r"""
