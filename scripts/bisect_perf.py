@@ -169,6 +169,21 @@ def main():
     timeit("preprocess fwd", lambda p: stages.preprocess(p[0], p[1], p[2], p[3], p[4], cam), params)
     timeit("preprocess fwd+bwd", pre_grad, params)
 
+    from easygaussiansplatting_tpu.ops.pallas.preprocess import fused_preprocess
+
+    @jax.jit
+    def fpre_grad(p):
+        def f(p):
+            a = fused_preprocess(p[0], p[1], p[2], p[3], p[4], cam)
+            return (jnp.sum(a["table"]) + jnp.sum(a["alphas"])
+                    + jnp.sum(a["depths"]))
+        return jax.grad(f)(p)
+
+    timeit("fused preprocess fwd",
+           jax.jit(lambda p: fused_preprocess(p[0], p[1], p[2], p[3], p[4], cam)),
+           params)
+    timeit("fused preprocess fwd+bwd", fpre_grad, params)
+
     # ---- loss ----
     from easygaussiansplatting_tpu.ops.loss import gau_loss
 
