@@ -56,13 +56,15 @@ TAU_STOP = 1e-4
 # opt-in until the on-chip A/B (speed + 27-check parity gate) lands
 import os as _os
 
-LOG_SCAN = bool(_os.environ.get("EGS_LOG_SCAN"))
+from easygaussiansplatting_tpu.utils.envflag import env_flag
+
+LOG_SCAN = env_flag("EGS_LOG_SCAN")
 # analogous MXU log-space path for the forward's prefix product — riskier
 # than the backward's: tau_ex feeds the contribute >= TAU_STOP *decision*,
 # so exp(sum log) rounding can flip borderline contributor bits vs the
 # sequential product of the tiled/golden backends. Opt-in until the on-chip
 # A/B (speed + full parity gate) decides.
-LOG_SCAN_FWD = bool(_os.environ.get("EGS_LOG_SCAN_FWD"))
+LOG_SCAN_FWD = env_flag("EGS_LOG_SCAN_FWD")
 PACK_ROWS = 16  # attribute columns per patch row (see layout above)
 GRAD_ROWS = 16  # kernel grad-block rows ([16,K] keeps full-tile writes);
 GRAD_USED = 9  # only u/conic/alpha/color columns carry data — the VJP

@@ -33,9 +33,15 @@ Opt-in via EGS_FUSED_PRE=1 pending the on-chip A/B + parity gate
 (scripts/ab_bench.py "fused*" variants); ops/stages.py stays the default and
 the GSPMD-sharded parallel layer keeps using it (a Mosaic call cannot be
 auto-partitioned — parallel/train.py would need its own shard_map wrapper).
+
+Limitation: camera-parameter gradients are NOT propagated (the custom_vjp
+returns zeros for the camera vector) — unlike the stages path, where plain
+autodiff would carry them. Nothing in the framework trains cameras; if pose
+refinement is ever added, extend _bwd_kernel's jax.vjp to the cam operand.
 """
 
 import functools
+import os
 from functools import partial
 
 import jax
@@ -43,6 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from easygaussiansplatting_tpu.ops.pallas.kernels import PACK_ROWS
 from easygaussiansplatting_tpu.ops.stages import MIN_DEPTH
 from easygaussiansplatting_tpu.utils.sh import sh_basis
 
@@ -50,8 +57,8 @@ LANES = 128
 # grid-block rows: RB*128 gaussians per grid step. 32 rows = 4096 gaussians
 # keeps the backward's block footprint (params + cotangents + vjp
 # intermediates at deg-3 SH) comfortably inside VMEM.
-RB = int(__import__("os").environ.get("EGS_FUSED_RB", "32"))
-OUT_ROWS = 19  # 16 table + depth + area_x + area_y
+RB = int(os.environ.get("EGS_FUSED_RB", "32"))
+OUT_ROWS = PACK_ROWS + 3  # table + depth + area_x + area_y
 CAM_LEN = 21  # Rcw(9) tcw(3) twc(3) fx fy cx cy limx limy
 
 
@@ -142,7 +149,7 @@ def _forward_rows(cam, px, py, pz, sh, alpha, sx, sy, sz, qw, qx, qy, qz):
     return [
         ux, uy, cc * det_inv, -cb * det_inv, ca * det_inv, alpha,
         col[0], col[1], col[2],
-        zero, zero, zero, zero, zero, zero, zero,  # table pad -> 16 rows
+    ] + [zero] * (PACK_ROWS - 9) + [  # table pad -> PACK_ROWS rows
         pcz,
         jnp.ceil(3.0 * jnp.sqrt(jnp.abs(ca))),
         jnp.ceil(3.0 * jnp.sqrt(jnp.abs(cc))),
@@ -309,9 +316,9 @@ def fused_preprocess(pws, shs, alphas, scales, rots, cam, alive=None,
         _to_planes(pad(scales.astype(f32))),
         _to_planes(pad(rots.astype(f32))),
     )  # [19, n_pad/128, 128]
-    flat = jnp.transpose(out.reshape(OUT_ROWS, n_pad), (1, 0))[:n]  # [N,19]
-    table = flat[:, :16]
-    depths = flat[:, 16]
+    flat = jnp.transpose(out.reshape(OUT_ROWS, n_pad), (1, 0))[:n]
+    table = flat[:, :PACK_ROWS]
+    depths = flat[:, PACK_ROWS]
     valid = depths >= MIN_DEPTH
     if alive is not None:
         valid = valid & alive
@@ -322,6 +329,6 @@ def fused_preprocess(pws, shs, alphas, scales, rots, cam, alive=None,
         "colors": table[:, 6:9],
         "alphas": alphas,
         "depths": depths,
-        "areas": flat[:, 17:19],
+        "areas": flat[:, PACK_ROWS + 1:PACK_ROWS + 3],
         "valid": valid,
     }

@@ -156,10 +156,10 @@ def _raster_table_bwd(dims, res, cotangents):
     # reference's atomicAdd (gsplatcu/kernel.cu:924-945). Only the 9 used
     # rows (u, conic, alpha, color) are reduced; the table cotangent is
     # zero-padded to PACK_ROWS after.
-    import os
+    from easygaussiansplatting_tpu.utils.envflag import env_flag
 
     if (meta.get("gsid_counts") is not None and not interpret
-            and not os.environ.get("EGS_SCATTER_REDUCE")):
+            and not env_flag("EGS_SCATTER_REDUCE")):
         dtable9 = _sort_reduce_grads(
             rows_ct, gsafe, live, meta["gsid_counts"], n
         )
@@ -190,9 +190,9 @@ def _sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, n):
 
     m = gsafe.shape[0]
     key = jnp.where(live, gsafe, jnp.iinfo(jnp.int32).max)
-    import os
+    from easygaussiansplatting_tpu.utils.envflag import env_flag
 
-    if os.environ.get("EGS_GRAD_PERM"):
+    if env_flag("EGS_GRAD_PERM"):
         # Bitonic payload width dominates sort cost (10 columns ~2x the
         # 2-column time): sort only (key, position), then move the 9
         # gradient rows with one 64-byte row gather through a transposed

@@ -103,12 +103,15 @@ def render(
     need_grads=True,
 ):
     """Returns (image [3,H,W], aux dict)."""
-    import os
+    from easygaussiansplatting_tpu.utils.envflag import env_flag
 
     table = None
-    if os.environ.get("EGS_FUSED_PRE") and resolve_backend(backend) == "pallas":
+    if env_flag("EGS_FUSED_PRE") and resolve_backend(backend) == "pallas":
         # fused Pallas preprocess (stages 1-5 + table build in one kernel);
-        # opt-in pending the on-chip A/B — see ops/pallas/preprocess.py
+        # opt-in pending the on-chip A/B — see ops/pallas/preprocess.py.
+        # Limitation vs the stages path: camera-parameter gradients are not
+        # propagated (the fused vjp returns zeros for the camera vector);
+        # cameras are not trained anywhere in this framework.
         from easygaussiansplatting_tpu.ops.pallas.preprocess import (
             fused_preprocess,
         )
@@ -121,7 +124,9 @@ def render(
         if us_offset is not None:
             import jax.numpy as jnp
 
-            table = table + jnp.pad(us_offset, ((0, 0), (0, 14)))
+            from easygaussiansplatting_tpu.ops.pallas.kernels import PACK_ROWS
+
+            table = table + jnp.pad(us_offset, ((0, 0), (0, PACK_ROWS - 2)))
         us = table[:, 0:2]
         aux["us"] = us
     else:

@@ -166,7 +166,9 @@ def main():
                     + jnp.sum(a["alphas"]) + jnp.sum(a["depths"]))
         return jax.grad(f)(p)
 
-    timeit("preprocess fwd", lambda p: stages.preprocess(p[0], p[1], p[2], p[3], p[4], cam), params)
+    timeit("preprocess fwd",
+           jax.jit(lambda p: stages.preprocess(p[0], p[1], p[2], p[3], p[4], cam)),
+           params)
     timeit("preprocess fwd+bwd", pre_grad, params)
 
     from easygaussiansplatting_tpu.ops.pallas.preprocess import fused_preprocess
