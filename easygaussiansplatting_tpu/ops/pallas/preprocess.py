@@ -167,7 +167,7 @@ def _split(pws_ref, shs_ref, alphas_ref, scales_ref, rots_ref):
 
 def _fwd_kernel(cam_ref, pws_ref, shs_ref, alphas_ref, scales_ref, rots_ref,
                 out_ref):
-    cam = [cam_ref[i] for i in range(CAM_LEN)]
+    cam = [cam_ref[0, i] for i in range(CAM_LEN)]
     px, py, pz, sh, alpha, sx, sy, sz, qw, qx, qy, qz = _split(
         pws_ref, shs_ref, alphas_ref, scales_ref, rots_ref)
     rows = _forward_rows(cam, px, py, pz, sh, alpha, sx, sy, sz, qw, qx, qy, qz)
@@ -177,7 +177,7 @@ def _fwd_kernel(cam_ref, pws_ref, shs_ref, alphas_ref, scales_ref, rots_ref,
 
 def _bwd_kernel(cam_ref, pws_ref, shs_ref, alphas_ref, scales_ref, rots_ref,
                 ct_ref, dout_ref, *, s_dim):
-    cam = [cam_ref[i] for i in range(CAM_LEN)]
+    cam = [cam_ref[0, i] for i in range(CAM_LEN)]
 
     def f(pws, shs, alphas, scales, rots):
         rows = _forward_rows(
@@ -211,7 +211,8 @@ def _fwd_call(cam, pws_t, shs_t, alphas_t, scales_t, rots_t, *, interpret):
         _fwd_kernel,
         grid=(r // RB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # scalars must be 2D in SMEM (pallas guide) -> [1, CAM_LEN]
+            pl.BlockSpec((1, CAM_LEN), lambda i: (0, 0), memory_space=pltpu.SMEM),
             _block(3), _block(s), _block(1), _block(3), _block(4),
         ],
         out_specs=_block(OUT_ROWS),
@@ -229,7 +230,7 @@ def _bwd_call(cam, pws_t, shs_t, alphas_t, scales_t, rots_t, ct, *, interpret):
         kern,
         grid=(r // RB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CAM_LEN), lambda i: (0, 0), memory_space=pltpu.SMEM),
             _block(3), _block(s), _block(1), _block(3), _block(4),
             _block(OUT_ROWS),
         ],
@@ -307,7 +308,7 @@ def fused_preprocess(pws, shs, alphas, scales, rots, cam, alive=None,
         jnp.asarray(cam.twc, f32).reshape(3),
         jnp.stack([jnp.asarray(v, f32) for v in
                    (cam.fx, cam.fy, cam.cx, cam.cy, limx, limy)]),
-    ])
+    ])[None, :]  # [1, CAM_LEN]: scalars ride SMEM as 2D
     out = _fused(
         bool(interpret), camvec,
         _to_planes(pad(pws.astype(f32))),
