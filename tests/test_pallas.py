@@ -183,6 +183,16 @@ def test_pallas_subchunked_kernels_match(rng):
     for a, b in zip(g1, g4):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
+    # k = max_patches (one chunk spanning everything — the EGS_KCHUNK=1024
+    # bench regime where chunk-crossing segments vanish entirely)
+    img_k, aux_k = render(*args, cam, backend="pallas", k_chunk=1024, **kw)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_1), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(aux_k["contrib"]), np.asarray(aux_1["contrib"]))
+    gk = jax.grad(loss(1024), argnums=(0, 2))(*args)
+    for a, b in zip(g1, gk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
 
 @pytest.mark.parametrize("perm", [False, True])
 def test_sort_reduce_grads_matches_scatter(rng, perm, monkeypatch):
