@@ -79,7 +79,7 @@ def render_gt_images(scene, config=None):
     if config is not None:
         kw = dict(
             backend=config.backend, tile=config.tile, max_patches=config.max_patches,
-            k_chunk=config.k_chunk, n_chunks=config.n_chunks,
+            k_chunk=config.raster_chunks()[0], n_chunks=config.raster_chunks()[1],
         )
     args = [
         jnp.asarray(scene[k], jnp.float32)

@@ -25,6 +25,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from easygaussiansplatting_tpu.utils.envflag import env_flag
+
 TILE = 16  # pixels per tile edge (parity with reference BLOCK, common.cuh:13)
 
 
@@ -270,7 +272,7 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
             (tids.astype(jnp.uint32) << mp_bits) ^ sign, jnp.int32
         )
         bounds = jnp.searchsorted(key_sorted, tkeys, side="left").astype(jnp.int32)
-    elif on_tpu and bool(int(__import__("os").environ.get("EGS_LEX_SORT", "0"))):
+    elif on_tpu and env_flag("EGS_LEX_SORT"):
         # composite key overflows int32 (>2047 tiles at a 2^20 patch
         # budget — e.g. the 979x546 eval resolution): lexicographic
         # (tile, slot) two-word key through the Pallas bitonic sort; slot

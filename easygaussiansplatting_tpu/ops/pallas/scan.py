@@ -89,11 +89,18 @@ def _seg_scan_kernel(x_ref, f_ref, o_ref, carry):
     s = 1
     while s < y.shape[1]:
         in_range = lane >= s
+        # out-of-range shifts fill with the combine IDENTITY (0, 0): the
+        # segmented-sum monoid's identity flag is 0 — a fill of 1 would mark
+        # a phantom segment start at the block edge, and after the log
+        # rounds that phantom gates the inter-block carry off every lane of
+        # a block-spanning segment except the block's last
         y_sh = jnp.where(in_range, jnp.roll(y, s, axis=1), 0.0)
-        g_sh = jnp.where(in_range, jnp.roll(g, s, axis=1), 1)
+        g_sh = jnp.where(in_range, jnp.roll(g, s, axis=1), 0)
         y = y + jnp.where(g > 0, 0.0, y_sh)
         g = jnp.maximum(g, g_sh)
         s <<= 1
+    # g now = "a true segment start lies in [block start .. lane]"; lanes
+    # before the block's first start continue the previous block's segment
     out = y + jnp.where(g > 0, 0.0, carry[:])
     o_ref[:] = out
     carry[:] = out[:, -1:]

@@ -82,13 +82,15 @@ def batched_raster_fn(mesh, config, width, height):
     the chain back onto the gs-sharded parameters.
     """
 
+    k_chunk, n_chunks = config.raster_chunks()
+
     def one(us, cinv2ds, alphas, colors, depths, areas, valid):
         image, _ = raster_from_aux(
             us, cinv2ds, alphas, colors, depths, areas, valid,
             width=width, height=height, backend=config.backend,
             tile=config.tile, max_patches=config.max_patches,
-            max_rows=config.max_rows, k_chunk=config.k_chunk,
-            n_chunks=config.n_chunks,
+            max_rows=config.max_rows, k_chunk=k_chunk,
+            n_chunks=n_chunks,
         )
         return image
 
@@ -172,6 +174,8 @@ def make_sharded_render(mesh, config):
     fully-replicated shard_map for the Pallas backend (every device renders
     the same image — eval is off the hot path, simplicity wins)."""
 
+    k_chunk, n_chunks = config.raster_chunks()
+
     @jax.jit
     def render_fn(pool, cam):
         pws, shs, alphas, scales, rots, alive = pool.activated()
@@ -185,8 +189,8 @@ def make_sharded_render(mesh, config):
                 us, cinv2ds, al, colors, depths, areas, valid,
                 width=cam.width, height=cam.height, backend=config.backend,
                 tile=config.tile, max_patches=config.max_patches,
-                max_rows=config.max_rows, k_chunk=config.k_chunk,
-                n_chunks=config.n_chunks,
+                max_rows=config.max_rows, k_chunk=k_chunk,
+                n_chunks=n_chunks,
             )
             return image
 

@@ -50,10 +50,12 @@ class TrainConfig:
     max_patches: int = 2**18
     max_rows: int = None  # None = max_patches (safe); rows ~= patches / mean width
     # k_chunk: Pallas chunk-block rows (sub-chunked internally in units of
-    # 128; bigger blocks amortise grid-step overhead); for the tiled
-    # backend it is the scan chunk length, with n_chunks*k_chunk the
-    # per-tile list capacity
+    # 128; bigger blocks amortise grid-step overhead). The tiled backend
+    # reads k_chunk as its scan chunk length with n_chunks*k_chunk the
+    # per-tile list capacity — a Pallas-sized 512 would silently 8x its
+    # per-tile compute, so it gets its own knob (raster_chunks()).
     k_chunk: int = 512
+    tiled_k_chunk: int = 64
     n_chunks: int = 16
     sh_degree: int = 3
 
@@ -68,3 +70,17 @@ class TrainConfig:
 
     # pool
     capacity_headroom: float = 4.0  # initial capacity = headroom * n_init
+
+    def raster_chunks(self):
+        """(k_chunk, n_chunks) for the resolved backend.
+
+        k_chunk means different things per backend: Pallas block rows vs the
+        tiled backend's scan chunk length (where n_chunks*k_chunk is the
+        per-tile list capacity) — so the tiled path uses tiled_k_chunk
+        instead of inheriting the Pallas-sized default.
+        """
+        from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
+
+        if resolve_backend(self.backend) == "pallas":
+            return self.k_chunk, self.n_chunks
+        return self.tiled_k_chunk, self.n_chunks

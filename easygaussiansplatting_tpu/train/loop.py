@@ -34,11 +34,12 @@ def render_pool_image(pool, cam, config, us_offset=None, need_grads=True):
     gradient reduction needs (a VJP through one still works via the XLA
     scatter fallback)."""
     pws, shs, alphas, scales, rots, alive = pool.activated()
+    k_chunk, n_chunks = config.raster_chunks()
     return render(
         pws, shs, alphas, scales, rots, cam,
         alive=alive, us_offset=us_offset,
         backend=config.backend, tile=config.tile, max_patches=config.max_patches,
-        max_rows=config.max_rows, k_chunk=config.k_chunk, n_chunks=config.n_chunks,
+        max_rows=config.max_rows, k_chunk=k_chunk, n_chunks=n_chunks,
         sh_degree=config.sh_degree, need_grads=need_grads,
     )
 

@@ -62,3 +62,39 @@ def test_segmented_cumsum_matches_numpy():
     np.testing.assert_allclose(got, want, atol=1e-5)
     ref = np.asarray(_seg_cumsum_ref(jnp.asarray(vals), jnp.asarray(flags)))
     np.testing.assert_allclose(ref, want, atol=1e-5)
+
+
+def test_seg_scan_kernel_interpret_block_spanning():
+    """Drive _seg_scan_kernel itself through the Pallas interpreter (the
+    segmented_cumsum wrapper short-circuits to the XLA reference off-TPU,
+    which is how a carry bug once shipped). Segments deliberately span
+    lane-block boundaries: every lane of a spanning segment after a boundary
+    must still receive the previous block's partial sum."""
+    from easygaussiansplatting_tpu.ops.pallas import scan
+
+    rng = np.random.default_rng(3)
+    r, m, lanes = 3, 512, 128
+    vals = jnp.asarray(rng.normal(size=(r, m)), jnp.float32)
+    for starts in (
+        [0, 300],              # one segment spans blocks 0-2, one 2-3
+        [0],                   # a single segment over all four blocks
+        [0, 127, 128, 400],    # starts at and next to a block edge
+    ):
+        flags = np.zeros(m, np.int32)
+        flags[starts] = 1
+        out = pl.pallas_call(
+            scan._seg_scan_kernel,
+            grid=(m // lanes,),
+            in_specs=[
+                pl.BlockSpec((r, lanes), lambda c: (0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes), lambda c: (0, c), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((r, lanes), lambda c: (0, c), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((r, m), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((r, 1), jnp.float32)],
+            interpret=True,
+        )(vals, jnp.asarray(flags)[None, :])
+        want = np.asarray(scan._seg_cumsum_ref(vals, jnp.asarray(flags)))
+        np.testing.assert_allclose(
+            np.asarray(out), want, atol=1e-5, err_msg=f"starts={starts}"
+        )
