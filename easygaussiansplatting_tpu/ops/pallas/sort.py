@@ -231,7 +231,7 @@ def _next_pow2(n):
 
 
 def sort_pairs(keys, *vals, n_keys=1, block=32768, interpret=None,
-               pad_key=None, n_live=None):
+               pad_key=None, n_live=None, group=None):
     """Sort by int32 `keys` ascending, carrying any number of int32/float32
     payload columns. With n_keys > 1 the first n_keys arrays (keys plus the
     leading vals) form one lexicographic multi-word key — the escape hatch
@@ -243,7 +243,9 @@ def sort_pairs(keys, *vals, n_keys=1, block=32768, interpret=None,
     strictly exceed every real key so padding sorts last); results are
     sliced back to the input length. `n_live` (default: the input length)
     marks how many leading elements are real — whole blocks of padding
-    skip their local sort.
+    skip their local sort. `group` (default: VMEM-sized, see _sort_padded)
+    is the merge-phase fusion width; tests force it small so the
+    cross-block kernel actually executes under the interpreter.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -265,5 +267,5 @@ def sort_pairs(keys, *vals, n_keys=1, block=32768, interpret=None,
         arrs = [jnp.concatenate([a, p]) for a, p in zip(arrs, pads)]
     out = _sort_padded(tuple(arrs), block=block, interpret=bool(interpret),
                        n_arrays=len(arrs), n_keys=n_keys,
-                       live_blocks=live_blocks)
+                       live_blocks=live_blocks, group=group)
     return [a[:m] for a in out]

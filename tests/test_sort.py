@@ -85,3 +85,27 @@ def test_sort_live_block_skip():
     ks = np.asarray(ks)
     np.testing.assert_array_equal(ks, np.sort(k))
     np.testing.assert_array_equal(k[np.asarray(vs)][:n_live], ks[:n_live])
+
+
+@pytest.mark.parametrize("n_live", [4096, 2900])
+def test_sort_cross_block_merge_stages(n_live):
+    """Force the merge-phase fusion width (group) below the array size so
+    the CROSS-BLOCK kernel (partner block via second BlockSpec) actually
+    executes under the interpreter — at default sizes every test fuses the
+    whole merge into the in-VMEM local path and _cross_kernel never runs
+    off-chip (the failure mode that shipped the segmented-scan carry bug)."""
+    rng = np.random.default_rng(int(n_live))
+    m = 4096
+    pad = np.iinfo(np.int32).max
+    k = np.full(m, pad, np.int32)
+    k[:n_live] = rng.integers(0, 2**28, size=n_live)
+    v = np.arange(m, dtype=np.int32)
+    f = rng.normal(size=m).astype(np.float32)
+    ks, vs, fs = sort_pairs(
+        jnp.asarray(k), jnp.asarray(v), jnp.asarray(f),
+        block=512, group=512, n_live=n_live, interpret=True,
+    )
+    ks, vs, fs = map(np.asarray, (ks, vs, fs))
+    np.testing.assert_array_equal(ks, np.sort(k))
+    np.testing.assert_array_equal(k[vs][:n_live], ks[:n_live])
+    np.testing.assert_array_equal(f[vs][:n_live], fs[:n_live])
