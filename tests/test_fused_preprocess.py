@@ -34,8 +34,9 @@ def _pool(rng, n, deg):
     return [jnp.asarray(a, jnp.float32) for a in (pws, shs, alphas, scales, rots)]
 
 
-@pytest.mark.parametrize("deg,n", [(0, 120), (3, 257)])
+@pytest.mark.parametrize("deg,n", [(0, 120), (3, 257), (0, 5000)])
 def test_fused_forward_matches_stages(rng, deg, n):
+    # n=5000 > RB*LANES=4096 forces multiple grid steps (block indexing)
     cam = Camera.from_dict(example_camera())
     args = _pool(rng, n, deg)
     ref = stages.preprocess(*args, cam, sh_degree=deg)
