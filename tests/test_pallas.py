@@ -387,3 +387,37 @@ def test_variant_flags_parity_subprocess(tmp_path):
             scale = max(1.0, np.abs(base[k]).max())
             np.testing.assert_allclose(got[k], base[k], atol=1e-3 * scale,
                                        err_msg=f"{k} {tag}")
+
+
+@pytest.mark.parametrize("grad_perm", [False, True])
+def test_sort_reduce_grads_matches_scatter(rng, monkeypatch, grad_perm):
+    """_sort_reduce_grads (the TPU default patch->gaussian gradient
+    reduction) never executes off-chip through the render wrapper (interpret
+    mode takes the XLA scatter fallback) — drive the composition directly:
+    Pallas bitonic sort + segmented sum + segment-end gather must equal the
+    scatter-add, for both payload-sort and permutation-sort variants."""
+    if grad_perm:
+        monkeypatch.setenv("EGS_GRAD_PERM", "1")
+    else:
+        monkeypatch.delenv("EGS_GRAD_PERM", raising=False)
+    from easygaussiansplatting_tpu.ops.pallas.rasterize import (
+        GRAD_USED,
+        _sort_reduce_grads,
+    )
+
+    m, n = 3000, 300
+    gsid = rng.integers(-1, n, size=m).astype(np.int32)  # -1 = dead patch
+    live = gsid >= 0
+    gsafe = np.maximum(gsid, 0).astype(np.int32)
+    rows_ct = np.where(
+        live[None, :], rng.normal(size=(GRAD_USED, m)), 0.0
+    ).astype(np.float32)
+    counts = np.bincount(gsafe[live], minlength=n).astype(np.int32)
+
+    got = np.asarray(_sort_reduce_grads(
+        jnp.asarray(rows_ct), jnp.asarray(gsafe), jnp.asarray(live),
+        jnp.asarray(counts), n,
+    ))
+    want = np.zeros((GRAD_USED, n), np.float32)
+    np.add.at(want.T, gsafe[live], rows_ct.T[live])
+    np.testing.assert_allclose(got, want, atol=2e-4)
