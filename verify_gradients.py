@@ -14,7 +14,9 @@ every Jacobian) and backward_gpu.py (device-vs-CPU parity): on the canonical
     kernels at a scale-relative fp32 tolerance (reference checks its device
     gradients too, backward_gpu.py:81-162).
 
-27 checks; exit code 0 iff everything is [OK].
+27 checks (28 on TPU, where a multi-scan-block sort-reduce-vs-scatter
+parity check runs at M=131072 — fixture scale cannot exercise inter-block
+carries); exit code 0 iff everything is [OK].
 """
 
 import sys
@@ -160,6 +162,35 @@ def main():
         tol = max(1e-4, 1.5e-3 * float(np.abs(num).max()))
         ok &= check(np.asarray(grads_p[i]), num, atol=tol,
                     name=f"dloss/d{nm} (pallas, fp32 tol {tol:.1e})")
+
+    # ---- 5. gradient-reduction parity PAST the kernels' block lengths -----
+    # The fixture is one scan-block/sort-block wide; a carry bug in the
+    # segmented scan once corrupted per-gaussian sums ONLY for patch runs
+    # crossing a 16384-lane block boundary (fixed; tests/test_scan.py).
+    # On-chip, compare the sort-reduce path against the XLA scatter-add at
+    # M well past the block length so inter-block carries are exercised.
+    if jax.default_backend() == "tpu":
+        from easygaussiansplatting_tpu.ops.pallas.rasterize import (
+            GRAD_USED,
+            _sort_reduce_grads,
+        )
+
+        m_big, n_big = 1 << 17, 4096  # ~32 patches/gaussian, 8 scan blocks
+        gsid = np.sort(rng.integers(-1, n_big, size=m_big)).astype(np.int32)
+        live = gsid >= 0
+        gsafe = np.maximum(gsid, 0).astype(np.int32)
+        rows_ct = np.where(
+            live[None, :], rng.normal(size=(GRAD_USED, m_big)), 0.0
+        ).astype(np.float32)
+        counts = np.bincount(gsafe[live], minlength=n_big).astype(np.int32)
+        got = np.asarray(_sort_reduce_grads(
+            f32(rows_ct), jnp.asarray(gsafe), jnp.asarray(live),
+            jnp.asarray(counts), n_big,
+        ))
+        want = np.zeros((GRAD_USED, n_big), np.float32)
+        np.add.at(want.T, gsafe[live], rows_ct.T[live])
+        ok &= check(got, want, atol=2e-4,
+                    name=f"sort-reduce vs scatter @ M={m_big} (multi-block)")
 
     print("\nALL OK" if ok else "\nFAILURES PRESENT")
     return 0 if ok else 1
