@@ -69,7 +69,7 @@ def shard_batch(mesh, tree, axis_name="data"):
     )
 
 
-def batched_raster_fn(mesh, config, width, height):
+def batched_raster_fn(mesh, config, width, height, with_table=False):
     """[B,N,*] attribute arrays -> [B,3,H,W] images.
 
     The raster stage (binning + stage-6 kernels) cannot be auto-partitioned
@@ -80,30 +80,59 @@ def batched_raster_fn(mesh, config, width, height):
     owners over ICI" step of SURVEY.md §2.9. The VJP runs under the same
     shard_map; the cotangents leave sharded over ``data`` and GSPMD carries
     the chain back onto the gs-sharded parameters.
+
+    ``with_table``: accept the fused preprocess's prebuilt [B,N,16]
+    attribute table as an 8th argument (the EGS_FUSED_PRE path).
     """
 
     k_chunk, n_chunks = config.raster_chunks()
 
-    def one(us, cinv2ds, alphas, colors, depths, areas, valid):
+    def one(us, cinv2ds, alphas, colors, depths, areas, valid, table=None):
         image, _ = raster_from_aux(
             us, cinv2ds, alphas, colors, depths, areas, valid,
             width=width, height=height, backend=config.backend,
             tile=config.tile, max_patches=config.max_patches,
             max_rows=config.max_rows, k_chunk=k_chunk,
-            n_chunks=n_chunks,
+            n_chunks=n_chunks, table=table,
         )
         return image
 
+    n_args = 8 if with_table else 7
     batched = jax.vmap(one)
     from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
 
     if resolve_backend(config.backend) == "pallas":
         spec = P("data")
         batched = jax.shard_map(
-            batched, mesh=mesh, in_specs=(spec,) * 7, out_specs=spec,
+            batched, mesh=mesh, in_specs=(spec,) * n_args, out_specs=spec,
             check_vma=False,
         )
     return batched
+
+
+def fused_batched_preprocess(mesh, config):
+    """shard_map'ed fused Pallas preprocess (ops/pallas/preprocess.py) over
+    the full (data, gs) mesh: each device runs the fused kernel on its
+    gaussian shard for its local cameras — a Mosaic call cannot be
+    auto-partitioned by GSPMD, which is why the default stages path stays
+    plain vmapped jnp under GSPMD. Selected by EGS_FUSED_PRE=1 with the
+    Pallas backend (make_sharded_train_step)."""
+    from easygaussiansplatting_tpu.ops.pallas.preprocess import fused_preprocess
+
+    def local(pws, shs, alphas, scales, rots, alive, bcam):
+        return jax.vmap(
+            lambda cam: fused_preprocess(
+                pws, shs, alphas, scales, rots, cam, alive=alive,
+                sh_degree=config.sh_degree,
+            )
+        )(bcam)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("gs"),) * 6 + (P("data"),),
+        out_specs=P("data", "gs"),
+        check_vma=False,
+    )
 
 
 def make_sharded_train_step(mesh, config, scene_size, max_steps):
@@ -119,16 +148,44 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
     """
     lr_fns = make_lr_fns(config, scene_size, max_steps)
 
+    from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
+    from easygaussiansplatting_tpu.utils.envflag import env_flag
+
+    use_fused = (env_flag("EGS_FUSED_PRE")
+                 and resolve_backend(config.backend) == "pallas")
+
     @jax.jit
     def step(pool, adam_state, stats, bcam, gt_images):
         params = pool.params()
         params = jax.lax.with_sharding_constraint(params, pool_shardings(mesh, params))
         us_offset = jnp.zeros((pool.capacity, 2), jnp.float32)
-        raster = batched_raster_fn(mesh, config, bcam.width, bcam.height)
+        raster = batched_raster_fn(mesh, config, bcam.width, bcam.height,
+                                   with_table=use_fused)
+        fused_pre = fused_batched_preprocess(mesh, config) if use_fused else None
 
         def loss_fn(params, us_offset):
             p = pool.replace_params(params)
             pws, shs, alphas, scales, rots, alive = p.activated()
+
+            if use_fused:
+                # stages 1-5 + table build as one Mosaic kernel per
+                # (camera, gs-shard) under shard_map (EGS_FUSED_PRE)
+                aux = fused_pre(pws, shs, alphas, scales, rots, alive, bcam)
+                from easygaussiansplatting_tpu.ops.pallas.kernels import (
+                    PACK_ROWS,
+                )
+
+                table = aux["table"] + jnp.pad(
+                    us_offset, ((0, 0), (0, PACK_ROWS - 2)))[None]
+                us = table[:, :, 0:2]
+                images = raster(
+                    us, aux["cinv2ds"], aux["alphas"], aux["colors"],
+                    aux["depths"], aux["areas"], aux["valid"], table,
+                )
+                losses = jax.vmap(
+                    lambda im, gt: gau_loss(im, gt, config.loss_lambda)
+                )(images, gt_images)
+                return jnp.mean(losses), aux["depths"]
 
             # stages 1-5: embarrassingly parallel over (camera, gaussian) —
             # GSPMD spreads the [B, N, *] work over the whole (data, gs) mesh

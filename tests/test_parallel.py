@@ -186,3 +186,26 @@ def test_train_sharded_epoch_driver():
     assert len(history["loss"]) == 4
     assert np.isfinite(history["loss"]).all()
     assert int(pool2.n_alive()) >= 48  # densify only grows on this scene
+
+
+def test_sharded_fused_preprocess_matches_stages(monkeypatch):
+    """EGS_FUSED_PRE=1 on the sharded step (fused Pallas preprocess under
+    shard_map over the full (data, gs) mesh) reproduces the default
+    GSPMD-stages path: losses, parameters, and densify stats."""
+    mesh = make_mesh(8)  # (2, 4)
+    scene, pool, bcam, gt = _setup(b=2, cap_round=8)
+
+    monkeypatch.delenv("EGS_FUSED_PRE", raising=False)
+    pool_0, stats_0, losses_0 = _run(mesh, pool, bcam, gt, scene["scene_size"])
+    monkeypatch.setenv("EGS_FUSED_PRE", "1")
+    pool_f, stats_f, losses_f = _run(mesh, pool, bcam, gt, scene["scene_size"])
+
+    np.testing.assert_allclose(losses_f, losses_0, rtol=0, atol=2e-5)
+    for k, v in pool_f.params().items():
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(pool_0.params()[k]), atol=5e-5, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(stats_f.grad_accum), np.asarray(stats_0.grad_accum), atol=1e-5
+    )
+    assert (np.asarray(stats_f.cunt) == np.asarray(stats_0.cunt)).all()
