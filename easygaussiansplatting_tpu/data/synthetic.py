@@ -77,9 +77,10 @@ def render_gt_images(scene, config=None):
 
     kw = {}
     if config is not None:
+        kc, nc = config.raster_chunks()
         kw = dict(
             backend=config.backend, tile=config.tile, max_patches=config.max_patches,
-            k_chunk=config.raster_chunks()[0], n_chunks=config.raster_chunks()[1],
+            k_chunk=kc, n_chunks=nc,
         )
     args = [
         jnp.asarray(scene[k], jnp.float32)

@@ -333,3 +333,17 @@ def fused_preprocess(pws, shs, alphas, scales, rots, cam, alive=None,
         "areas": flat[:, PACK_ROWS + 1:PACK_ROWS + 3],
         "valid": valid,
     }
+
+
+def offset_table(table, us_offset):
+    """Shift the fused table's screen coordinates by the densification
+    ``us_offset`` and return ``(table, us)``.
+
+    ``table`` is ``[..., N, PACK_ROWS]`` with (ux, uy) in columns 0:2 —
+    this helper owns that layout so callers (ops/rasterize.render,
+    parallel/train.train_step) stay in lockstep if it ever changes.
+    ``us_offset`` is ``[N, 2]`` or None.
+    """
+    if us_offset is not None:
+        table = table + jnp.pad(us_offset, ((0, 0), (0, PACK_ROWS - 2)))
+    return table, table[..., 0:2]

@@ -114,20 +114,14 @@ def render(
         # cameras are not trained anywhere in this framework.
         from easygaussiansplatting_tpu.ops.pallas.preprocess import (
             fused_preprocess,
+            offset_table,
         )
 
         aux = fused_preprocess(
             pws, shs, alphas, scales, rots, cam, alive=alive,
             sh_degree=sh_degree,
         )
-        table = aux.pop("table")
-        if us_offset is not None:
-            import jax.numpy as jnp
-
-            from easygaussiansplatting_tpu.ops.pallas.kernels import PACK_ROWS
-
-            table = table + jnp.pad(us_offset, ((0, 0), (0, PACK_ROWS - 2)))
-        us = table[:, 0:2]
+        table, us = offset_table(aux.pop("table"), us_offset)
         aux["us"] = us
     else:
         aux = stages.preprocess(

@@ -170,36 +170,28 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
             if use_fused:
                 # stages 1-5 + table build as one Mosaic kernel per
                 # (camera, gs-shard) under shard_map (EGS_FUSED_PRE)
+                from easygaussiansplatting_tpu.ops.pallas.preprocess import (
+                    offset_table,
+                )
+
                 aux = fused_pre(pws, shs, alphas, scales, rots, alive, bcam)
-                from easygaussiansplatting_tpu.ops.pallas.kernels import (
-                    PACK_ROWS,
-                )
-
-                table = aux["table"] + jnp.pad(
-                    us_offset, ((0, 0), (0, PACK_ROWS - 2)))[None]
-                us = table[:, :, 0:2]
-                images = raster(
-                    us, aux["cinv2ds"], aux["alphas"], aux["colors"],
-                    aux["depths"], aux["areas"], aux["valid"], table,
-                )
-                losses = jax.vmap(
-                    lambda im, gt: gau_loss(im, gt, config.loss_lambda)
-                )(images, gt_images)
-                return jnp.mean(losses), aux["depths"]
-
-            # stages 1-5: embarrassingly parallel over (camera, gaussian) —
-            # GSPMD spreads the [B, N, *] work over the whole (data, gs) mesh
-            aux = jax.vmap(
-                lambda cam: stages.preprocess(
-                    pws, shs, alphas, scales, rots, cam,
-                    alive=alive, sh_degree=config.sh_degree,
-                )
-            )(bcam)
-            us = aux["us"] + us_offset[None]
+                table, us = offset_table(aux["table"], us_offset)
+                extra = (table,)
+            else:
+                # stages 1-5: embarrassingly parallel over (camera, gaussian)
+                # — GSPMD spreads the [B, N, *] work over the (data, gs) mesh
+                aux = jax.vmap(
+                    lambda cam: stages.preprocess(
+                        pws, shs, alphas, scales, rots, cam,
+                        alive=alive, sh_degree=config.sh_degree,
+                    )
+                )(bcam)
+                us = aux["us"] + us_offset[None]
+                extra = ()
 
             images = raster(
                 us, aux["cinv2ds"], aux["alphas"], aux["colors"],
-                aux["depths"], aux["areas"], aux["valid"],
+                aux["depths"], aux["areas"], aux["valid"], *extra,
             )
             losses = jax.vmap(lambda im, gt: gau_loss(im, gt, config.loss_lambda))(
                 images, gt_images

@@ -53,9 +53,9 @@ class TrainConfig:
     # 128; bigger blocks amortise grid-step overhead). The tiled backend
     # reads k_chunk as its scan chunk length with n_chunks*k_chunk the
     # per-tile list capacity — a Pallas-sized 512 would silently 8x its
-    # per-tile compute, so it gets its own knob (raster_chunks()).
-    k_chunk: int = 512
-    tiled_k_chunk: int = 64
+    # per-tile compute, so None resolves to a per-backend default
+    # (raster_chunks()) while an explicit value is always honored.
+    k_chunk: int = None  # None = backend default (pallas 512, tiled 64)
     n_chunks: int = 16
     sh_degree: int = 3
 
@@ -76,11 +76,13 @@ class TrainConfig:
 
         k_chunk means different things per backend: Pallas block rows vs the
         tiled backend's scan chunk length (where n_chunks*k_chunk is the
-        per-tile list capacity) — so the tiled path uses tiled_k_chunk
-        instead of inheriting the Pallas-sized default.
+        per-tile list capacity) — so k_chunk=None resolves to a per-backend
+        default; an explicitly-set k_chunk applies to whichever backend
+        resolves.
         """
         from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
 
-        if resolve_backend(self.backend) == "pallas":
-            return self.k_chunk, self.n_chunks
-        return self.tiled_k_chunk, self.n_chunks
+        k = self.k_chunk
+        if k is None:
+            k = 512 if resolve_backend(self.backend) == "pallas" else 64
+        return k, self.n_chunks

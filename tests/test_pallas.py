@@ -390,7 +390,7 @@ def test_variant_flags_parity_subprocess(tmp_path):
 
 
 @pytest.mark.parametrize("grad_perm", [False, True])
-def test_sort_reduce_grads_matches_scatter(rng, monkeypatch, grad_perm):
+def test_sort_reduce_grads_direct_composition(rng, monkeypatch, grad_perm):
     """_sort_reduce_grads (the TPU default patch->gaussian gradient
     reduction) never executes off-chip through the render wrapper (interpret
     mode takes the XLA scatter fallback) — drive the composition directly:
