@@ -63,8 +63,13 @@ def main():
 
     k_chunk = int(os.environ.get("EGS_KCHUNK", "512"))
     # ~1.4x headroom over the scene's 549k patches — what the trainer's
-    # adaptive budget (train.loop.PatchBudget) would converge to
-    max_patches = 786432 if on_tpu else 2**14
+    # adaptive budget (train.loop.PatchBudget) would converge to at the
+    # default 1.5 headroom. EGS_MAX_PATCHES probes tighter budgets: every
+    # latency-bound stage (tile sort, sort-reduce, scan chains) scales with
+    # the STATIC budget, not the true patch count, and any budget >= the
+    # scene's 549k true patches drops nothing (identical images/grads) —
+    # if a tighter rung wins on-chip, budget_headroom's default follows.
+    max_patches = int(os.environ.get("EGS_MAX_PATCHES", "786432")) if on_tpu else 2**14
     max_rows = 262144 if on_tpu else None  # rows ~ patches / mean splat width
 
     @jax.jit

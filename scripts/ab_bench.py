@@ -57,6 +57,17 @@ VARIANTS = [
     ("all_tri_fused", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
                        "EGS_SUB": "64", "EGS_GRAD_PERM": "1",
                        "EGS_TRI_PREC": "mixed", "EGS_FUSED_PRE": "1"}),
+    # tighter static patch budget (1.25x headroom rung vs the default
+    # 1.5x): the tile sort, sort-reduce and scan chains are latency-bound
+    # on the BUDGET size, not the true 549k patches; nothing drops at
+    # >= 549k so images/grads are identical. A win here flips the
+    # trainer's budget_headroom default (the mid-epoch overflow reaction
+    # makes the tighter rung safe).
+    ("budget125", {"EGS_MAX_PATCHES": "688128"}),
+    ("all_tri_fused_budget", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
+                              "EGS_SUB": "64", "EGS_GRAD_PERM": "1",
+                              "EGS_TRI_PREC": "mixed", "EGS_FUSED_PRE": "1",
+                              "EGS_MAX_PATCHES": "688128"}),
 ]
 
 
