@@ -85,6 +85,16 @@ def main():
         return loss, grads
 
     @jax.jit
+    def drop_check(params):
+        _, aux = render(
+            *params, cam, backend=backend, tile=16,
+            max_patches=max_patches, max_rows=max_rows, k_chunk=k_chunk,
+            need_grads=False,
+        )
+        b = aux["binning"]
+        return b.get("n_dropped", 0) + b.get("rows_dropped", 0)
+
+    @jax.jit
     def fwd_step(params):
         image, _ = render(
             *params, cam, backend=backend, tile=16,
@@ -93,7 +103,10 @@ def main():
         )
         return jnp.mean(image)  # tiny reduction: one scalar to read back
 
-    # warmup / compile
+    # warmup / compile; refuse to bench a budget that truncates work (a
+    # dropping config computes a different image and would look "faster")
+    dropped = int(drop_check(params))
+    assert dropped == 0, f"budget drops {dropped} patches/rows — not benchable"
     loss, grads = step(params, gt)
     jax.block_until_ready((loss, grads))
     jax.block_until_ready(fwd_step(params))
