@@ -62,14 +62,13 @@ def main():
     import os
 
     k_chunk = int(os.environ.get("EGS_KCHUNK", "512"))
-    # ~1.4x headroom over the scene's 549k patches — what the trainer's
-    # adaptive budget (train.loop.PatchBudget) would converge to at the
-    # default 1.5 headroom. EGS_MAX_PATCHES probes tighter budgets: every
+    # ~1.25x headroom over the scene's 549k patches (the r3 on-chip A/B
+    # winner: 13.53 vs 13.31 Mpix/s at the old 786432/1.5x rung). Every
     # latency-bound stage (tile sort, sort-reduce, scan chains) scales with
     # the STATIC budget, not the true patch count, and any budget >= the
-    # scene's 549k true patches drops nothing (identical images/grads) —
-    # if a tighter rung wins on-chip, budget_headroom's default follows.
-    max_patches = int(os.environ.get("EGS_MAX_PATCHES", "786432")) if on_tpu else 2**14
+    # scene's 549k true patches drops nothing (identical images/grads; the
+    # drop_check below enforces it). EGS_MAX_PATCHES probes other budgets.
+    max_patches = int(os.environ.get("EGS_MAX_PATCHES", "688128")) if on_tpu else 2**14
     max_rows = 262144 if on_tpu else None  # rows ~ patches / mean splat width
 
     @jax.jit

@@ -72,23 +72,38 @@ GRAD_USED = 9  # only u/conic/alpha/color columns carry data — the VJP
 _HI = jax.lax.Precision.HIGHEST
 # Precision of the [SUB,SUB] x [SUB,P] triangular-matrix contractions (the
 # MXU scans). The 0/1 triangular operand is EXACT in a single bf16 pass, so
-# "mixed" = (DEFAULT, HIGHEST) asks XLA for 1x3 passes instead of HIGHEST's
-# 3x3 — same fp32-accurate product sums (tri contributes no rounding), half
-# the systolic-array time. Opt-in until the on-chip A/B + parity gate lands.
+# "mixed" = (DEFAULT, HIGHEST) would buy 1x3 systolic passes instead of
+# HIGHEST's 3x3 with identical product sums — but Mosaic's dot lowering
+# rejects per-operand precision tuples inside Pallas kernels ("Per-operand
+# dot precision unsupported", jax 0.8 mosaic/lowering.py:2244), so the knob
+# is pinned to HIGHEST until Mosaic grows it; asking for "mixed" warns.
 TRI_PREC = _os.environ.get("EGS_TRI_PREC", "highest")
+if TRI_PREC == "mixed":
+    import warnings as _warnings
+
+    _warnings.warn(
+        "EGS_TRI_PREC=mixed (per-operand dot precision) is not lowerable by"
+        " Mosaic inside Pallas kernels on this backend; using 'highest'.")
 # Precision of the two matmuls whose BOTH operands carry real data (forward
-# color accumulation, backward dcolor): "high" = 3 systolic passes (~fp32
-# accurate: only the lo*lo significance term is dropped) vs HIGHEST's 6.
-# Opt-in accuracy/speed trade pending the on-chip parity gate.
+# color accumulation, backward dcolor). "high" (3 systolic passes vs
+# HIGHEST's 6) was probed in the r3 A/B but Mosaic's dot lowering rejects
+# Precision.HIGH inside Pallas kernels (NotImplementedError, jax 0.8 Mosaic
+# lowering.py:2254), so the knob is pinned to HIGHEST until Mosaic grows
+# the 3-pass mode; asking for "high" warns instead of crashing at trace.
 DOT_PREC = _os.environ.get("EGS_DOT_PREC", "highest")
-_DOT = jax.lax.Precision.HIGH if DOT_PREC == "high" else jax.lax.Precision.HIGHEST
+if DOT_PREC == "high":
+    import warnings as _warnings
+
+    _warnings.warn(
+        "EGS_DOT_PREC=high is not lowerable by Mosaic inside Pallas kernels"
+        " on this backend; using 'highest'.")
+_DOT = jax.lax.Precision.HIGHEST
 
 
 def _tri_dot(tri, x):
     """0/1 triangular [S,S] contracted with [S,P] — the MXU scan primitive."""
-    prec = ((jax.lax.Precision.DEFAULT, _HI) if TRI_PREC == "mixed" else _HI)
     return jax.lax.dot_general(
-        tri, x, (((1,), (0,)), ((), ())), precision=prec,
+        tri, x, (((1,), (0,)), ((), ())), precision=_HI,
         preferred_element_type=jnp.float32,
     )
 

@@ -65,7 +65,10 @@ class TrainConfig:
     # size bucket; the reference instead reads the exact count back to the
     # host every step, gausplat.cu:67)
     adaptive_budget: bool = True
-    budget_headroom: float = 1.5
+    # 1.25x won the r3 on-chip budget A/B (every latency-bound binning /
+    # sort-reduce stage scales with the static budget, and the mid-epoch
+    # overflow reaction makes the tighter rung safe to grow out of)
+    budget_headroom: float = 1.25
     budget_quantum: int = 16384  # ladder rung granularity (scan-kernel block)
 
     # pool

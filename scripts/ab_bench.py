@@ -22,52 +22,40 @@ import time
 VARIANTS = [
     # name, env overrides (on top of the current tree's defaults)
     ("base", {}),
-    # triangular-contraction precision: (DEFAULT, HIGHEST) halves the MXU
-    # passes (the 0/1 operand is exact in one bf16 pass)
-    ("tri_mixed", {"EGS_TRI_PREC": "mixed"}),
-    # data-operand matmuls (fwd color accumulation, bwd dcolor) at HIGH:
-    # 3 systolic passes instead of 6 (drops only the lo*lo term)
-    ("dot_high", {"EGS_DOT_PREC": "high"}),
-    ("tri_dot", {"EGS_TRI_PREC": "mixed", "EGS_DOT_PREC": "high"}),
+    # NOTE (r3 on-chip result): the precision variants (EGS_TRI_PREC=mixed,
+    # EGS_DOT_PREC=high) are DEAD on this backend — Mosaic's dot lowering
+    # supports only DEFAULT/HIGHEST and rejects per-operand tuples
+    # (mosaic/lowering.py:2244-2254), so kernels.py pins both knobs to
+    # HIGHEST (with a warning) and the variants were removed from the list.
     # smaller sub-chunks: 65% -> 88% occupancy, two fewer scan rounds
-    # (VPU-scan path; tri matmuls below 64 underfill the systolic array)
-    ("sub32_tri_dot", {"EGS_SUB": "32", "EGS_TRI_PREC": "mixed",
-                       "EGS_DOT_PREC": "high"}),
+    # (VPU-scan path). r3 on-chip: 12.96 vs 13.31 base — per-block fixed
+    # cost dominates; REJECTED.
     ("sub32", {"EGS_SUB": "32"}),
     # fused Pallas preprocess (stages 1-5 + table build in ONE kernel each
-    # way — attacks the 3-5 ms XLA-op-overhead attribution row)
+    # way — attacks the 3-5 ms XLA-op-overhead attribution row).
+    # r3 on-chip: 13.26 vs 13.31 base — a wash; stays opt-in.
     ("fused", {"EGS_FUSED_PRE": "1"}),
-    # larger chunk: fewer chunk-crossing grid steps (Q = M/k + n_tiles);
-    # per-grid-step fixed cost is a prime suspect for the kernels' gap to
-    # their VPU bound (BASELINE.md)
+    # larger chunk: fewer chunk-crossing grid steps (Q = M/k + n_tiles).
+    # r3 on-chip: 13.50 at the 688k budget vs budget125's 13.53 — neutral;
+    # k_chunk stays 512.
     ("kchunk1024", {"EGS_KCHUNK": "1024"}),
     ("kchunk1024_sub64", {"EGS_KCHUNK": "1024", "EGS_SUB": "64"}),
     ("sub64", {"EGS_SUB": "64"}),
-    ("logscan_tri_mixed", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
-                           "EGS_TRI_PREC": "mixed"}),
     ("logscan_bwd", {"EGS_LOG_SCAN": "1"}),
+    # r3 on-chip: 13.34 at the 688k budget vs budget125's 13.53 — the MXU
+    # log-space scans lose to the VPU sublane scans; REJECTED as default.
     ("logscan_both", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"}),
     ("grad_perm", {"EGS_GRAD_PERM": "1"}),
     ("logscan_both_sub64", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
                             "EGS_SUB": "64"}),
     ("all", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
              "EGS_GRAD_PERM": "1"}),
-    ("all_tri", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
-                 "EGS_GRAD_PERM": "1", "EGS_TRI_PREC": "mixed"}),
-    ("all_tri_fused", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
-                       "EGS_SUB": "64", "EGS_GRAD_PERM": "1",
-                       "EGS_TRI_PREC": "mixed", "EGS_FUSED_PRE": "1"}),
-    # tighter static patch budget (1.25x headroom rung vs the default
-    # 1.5x): the tile sort, sort-reduce and scan chains are latency-bound
-    # on the BUDGET size, not the true 549k patches; nothing drops at
-    # >= 549k so images/grads are identical. A win here flips the
-    # trainer's budget_headroom default (the mid-epoch overflow reaction
-    # makes the tighter rung safe).
+    # tighter static patch budget: the tile sort, sort-reduce and scan
+    # chains are latency-bound on the BUDGET size, not the true 549k
+    # patches; nothing drops at >= 549k so images/grads are identical.
+    # r3 on-chip WINNER: 13.53 vs 13.31 at the old 786432 budget — now the
+    # bench.py default (688128) and budget_headroom default (1.25).
     ("budget125", {"EGS_MAX_PATCHES": "688128"}),
-    ("all_tri_fused_budget", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
-                              "EGS_SUB": "64", "EGS_GRAD_PERM": "1",
-                              "EGS_TRI_PREC": "mixed", "EGS_FUSED_PRE": "1",
-                              "EGS_MAX_PATCHES": "688128"}),
 ]
 
 
