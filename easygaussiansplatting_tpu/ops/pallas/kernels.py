@@ -118,8 +118,9 @@ def _pixel_coords(t, gx, tile, p):
     mantissa on the small local values than on ~1000-pixel global
     coordinates, and (b) the backward's moment basis (1, x, y, x^2, xy, y^2)
     becomes small exact integers (<= (tile-1)^2 = 225), i.e. EXACT in one
-    bf16 pass — which is what lets EGS_TRI_PREC=mixed halve the `mom`
-    contraction's systolic passes."""
+    bf16 pass — which would let a mixed-precision `mom` contraction halve
+    its systolic passes once Mosaic supports per-operand dot precision
+    (today the knob is pinned to HIGHEST, see TRI_PREC above)."""
     tx = t % gx
     ty = t // gx
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)

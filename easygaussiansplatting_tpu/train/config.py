@@ -65,9 +65,14 @@ class TrainConfig:
     # size bucket; the reference instead reads the exact count back to the
     # host every step, gausplat.cu:67)
     adaptive_budget: bool = True
-    # 1.25x won the r3 on-chip budget A/B (every latency-bound binning /
-    # sort-reduce stage scales with the static budget, and the mid-epoch
-    # overflow reaction makes the tighter rung safe to grow out of)
+    # Tighter headroom won the r3 on-chip budget A/B at the bench scene
+    # (688128 = 13.53 vs 786432 = 13.31 Mpix/s): every latency-bound
+    # binning / sort-reduce stage scales with the static budget, and the
+    # mid-epoch overflow reaction makes a tight rung safe to grow out of.
+    # NOTE the ladder below quantizes 1.25x of the 549k bench scene to the
+    # 786432 rung (the 688128 point is bench.py-only, off-ladder); the
+    # measured trainer-visible pair is 786432 (13.31) vs the old 1048576
+    # default — both probed in the r4 sweep (scripts/ab_bench.py).
     budget_headroom: float = 1.25
     budget_quantum: int = 16384  # ladder rung granularity (scan-kernel block)
 

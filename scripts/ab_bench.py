@@ -19,43 +19,43 @@ import time
 # Ordered most-promising-first (the tunnel can die mid-sweep; partial
 # results should cover the best candidates). Rationale per BASELINE.md
 # "Segmented-grid occupancy" + the MXU pass model in kernels.py.
+# r3 on-chip results already landed (partial sweep before the tunnel died):
+#   base@786432 budget = 13.31; budget 688128 = 13.53 WINNER -> now the
+#   bench.py default; sub32 = 12.96 REJECTED (per-block fixed cost
+#   dominates the 88% occupancy win); fused = 13.26 wash (stays opt-in,
+#   fwd-only effect re-probed below); kchunk1024 = 13.50 neutral;
+#   logscan_both = 13.34 REJECTED (MXU log-space scans lose to the VPU
+#   sublane scans). The precision variants (EGS_TRI_PREC=mixed,
+#   EGS_DOT_PREC=high) are DEAD on this backend — Mosaic's dot lowering
+#   supports only DEFAULT/HIGHEST (mosaic/lowering.py:2244-2254); kernels.py
+#   pins both knobs to HIGHEST.
 VARIANTS = [
-    # name, env overrides (on top of the current tree's defaults)
+    # name, env overrides (on top of the current tree's defaults, which are
+    # the r3 winners: budget 688128, SUB=128, VPU scans, k_chunk 512)
     ("base", {}),
-    # NOTE (r3 on-chip result): the precision variants (EGS_TRI_PREC=mixed,
-    # EGS_DOT_PREC=high) are DEAD on this backend — Mosaic's dot lowering
-    # supports only DEFAULT/HIGHEST and rejects per-operand tuples
-    # (mosaic/lowering.py:2244-2254), so kernels.py pins both knobs to
-    # HIGHEST (with a warning) and the variants were removed from the list.
-    # smaller sub-chunks: 65% -> 88% occupancy, two fewer scan rounds
-    # (VPU-scan path). r3 on-chip: 12.96 vs 13.31 base — per-block fixed
-    # cost dominates; REJECTED.
-    ("sub32", {"EGS_SUB": "32"}),
-    # fused Pallas preprocess (stages 1-5 + table build in ONE kernel each
-    # way — attacks the 3-5 ms XLA-op-overhead attribution row).
-    # r3 on-chip: 13.26 vs 13.31 base — a wash; stays opt-in.
-    ("fused", {"EGS_FUSED_PRE": "1"}),
-    # larger chunk: fewer chunk-crossing grid steps (Q = M/k + n_tiles).
-    # r3 on-chip: 13.50 at the 688k budget vs budget125's 13.53 — neutral;
-    # k_chunk stays 512.
-    ("kchunk1024", {"EGS_KCHUNK": "1024"}),
-    ("kchunk1024_sub64", {"EGS_KCHUNK": "1024", "EGS_SUB": "64"}),
     ("sub64", {"EGS_SUB": "64"}),
     ("logscan_bwd", {"EGS_LOG_SCAN": "1"}),
-    # r3 on-chip: 13.34 at the 688k budget vs budget125's 13.53 — the MXU
-    # log-space scans lose to the VPU sublane scans; REJECTED as default.
-    ("logscan_both", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"}),
+    # tighter budget rungs: every latency-bound stage (tile sort,
+    # sort-reduce, scan chains) scales with the STATIC budget; nothing
+    # drops at >= the scene's true patch count (bench.py refuses to
+    # measure a truncating budget, so an over-tight rung errors out
+    # instead of lying).
+    ("budget655360", {"EGS_MAX_PATCHES": "655360"}),
+    ("budget589824", {"EGS_MAX_PATCHES": "589824"}),
+    # the pair the TRAINER ladder actually visits at 1.25x headroom on a
+    # 549k scene: 786432 (r3: 13.31) vs the old 1048576 default — measures
+    # what the config.py budget_headroom change was worth end-to-end.
+    ("budget1048576", {"EGS_MAX_PATCHES": "1048576"}),
     ("grad_perm", {"EGS_GRAD_PERM": "1"}),
+    ("kchunk1024_sub64", {"EGS_KCHUNK": "1024", "EGS_SUB": "64"}),
+    # fused preprocess re-probe: fwd+bwd was a wash, but the per-variant
+    # fwd_throughput field decides whether it defaults on for
+    # need_grads=False renders (viewer/eval path, VERDICT item 5).
+    ("fused", {"EGS_FUSED_PRE": "1"}),
     ("logscan_both_sub64", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
                             "EGS_SUB": "64"}),
     ("all", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
              "EGS_GRAD_PERM": "1"}),
-    # tighter static patch budget: the tile sort, sort-reduce and scan
-    # chains are latency-bound on the BUDGET size, not the true 549k
-    # patches; nothing drops at >= 549k so images/grads are identical.
-    # r3 on-chip WINNER: 13.53 vs 13.31 at the old 786432 budget — now the
-    # bench.py default (688128) and budget_headroom default (1.25).
-    ("budget125", {"EGS_MAX_PATCHES": "688128"}),
 ]
 
 

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Serialized on-chip round-3 session: baseline bench -> variant A/B ->
+# Serialized on-chip round-4 session: baseline bench -> variant A/B ->
 # grad gate on defaults -> grad gate under the A/B winner's flags.
 cd "$(dirname "$0")/.."
 exec > "${EGS_SESSION_LOG:-/tmp/chip_session.log}" 2>&1
@@ -30,10 +30,10 @@ else
   echo "winner is base config; defaults gate covers it"
 fi
 echo "--- truck-scale proxy, default preset ($(date)) ---"
-timeout 3600 python scripts/bench_scene.py > /tmp/bench_scene_r3.log 2>&1
-echo "bench_scene rc=$? : $(tail -1 /tmp/bench_scene_r3.log)"
+timeout 3600 python scripts/bench_scene.py > /tmp/bench_scene_r4.log 2>&1
+echo "bench_scene rc=$? : $(tail -1 /tmp/bench_scene_r4.log)"
 echo "--- truck-scale proxy, --realism preset ($(date)) ---"
-timeout 3600 python scripts/bench_scene.py --realism > /tmp/bench_scene_r3_realism.log 2>&1
-echo "bench_scene --realism rc=$? : $(tail -1 /tmp/bench_scene_r3_realism.log)"
+timeout 3600 python scripts/bench_scene.py --realism > /tmp/bench_scene_r4_realism.log 2>&1
+echo "bench_scene --realism rc=$? : $(tail -1 /tmp/bench_scene_r4_realism.log)"
 echo "=== chip session done $(date) ==="
 touch /tmp/chip_session_done

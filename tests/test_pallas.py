@@ -334,6 +334,7 @@ VARIANT_ENVS = [
 ]
 
 _VARIANT_SCRIPT = r"""
+import os
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
@@ -350,7 +351,8 @@ args = [jnp.asarray(a, jnp.float32) for a in (
     pws, rng.normal(size=(n, 3)) * 0.5,
     1 / (1 + np.exp(-rng.normal(size=n))),
     np.exp(rng.normal(size=(n, 3)) * 0.4 - 2.2), rots)]
-kw = dict(backend="pallas", k_chunk=128, max_patches=4096)
+kw = dict(backend="pallas", k_chunk=int(os.environ.get("EGS_KCHUNK", "128")),
+          max_patches=4096)
 img, _ = render(*args, cam, **kw)
 w = jnp.asarray(np.random.default_rng(7).normal(size=(3, 16, 32)), jnp.float32)
 g = jax.grad(lambda *a: jnp.sum(render(*a, cam, **kw)[0] * w), argnums=(0, 2))(*args)
