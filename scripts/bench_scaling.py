@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--height", type=int, default=48)
     ap.add_argument("--gaussians", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=5,
+                    help="timed repetitions per mesh size; the MEDIAN trial "
+                         "is reported (single timings on the virtual mesh "
+                         "swing +-15% with host time-sharing noise — enough "
+                         "to hide a real collective regression, VERDICT r3)")
     ap.add_argument("--multihost", action="store_true",
                     help="join a multi-process run (auto-detected topology "
                          "on Cloud TPU pods; elsewhere set EGS_COORDINATOR/"
@@ -104,11 +109,14 @@ def main():
 
         out = step(pool_s, adam, stats, bcam, gt)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            pool_s, adam, stats, loss = step(pool_s, adam, stats, bcam, gt)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / args.steps
+        trial_dts = []
+        for _ in range(max(1, args.trials)):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                pool_s, adam, stats, loss = step(pool_s, adam, stats, bcam, gt)
+            jax.block_until_ready(loss)
+            trial_dts.append((time.perf_counter() - t0) / args.steps)
+        dt = float(np.median(trial_dts))
         pix_s = d * args.width * args.height / dt
         if base is None:
             base = pix_s

@@ -188,6 +188,91 @@ def test_train_sharded_epoch_driver():
     assert int(pool2.n_alive()) >= 48  # densify only grows on this scene
 
 
+def _collective_accounting(txt, gs_size, data_size):
+    """Parse (op, axis-group-size, bytes) for every collective in HLO text.
+
+    Byte counts are fusion-invariant: XLA may merge or split the per-array
+    all-gathers between versions, but the total gathered/reduced volume only
+    changes if the *partitioning* changes — which is exactly the regression
+    this accounts for (timing the virtual mesh cannot: host time-sharing
+    noise swamps a 15% collective regression, BASELINE.md)."""
+    import re
+
+    dt = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "s64": 8, "u64": 8,
+          "pred": 1, "bf16": 2, "s8": 1, "u8": 1}
+    line_re = re.compile(
+        r"= (.*?) (all-gather|all-reduce|reduce-scatter|collective-permute"
+        r"|all-to-all)\(")
+    shape_re = re.compile(
+        r"(f32|f64|s32|u32|s64|u64|pred|bf16|s8|u8)\[([0-9,]*)\]")
+    iota_re = re.compile(r"replica_groups=\[(\d+),(\d+)\]<=")
+    expl_re = re.compile(r"replica_groups=\{\{([0-9,]+)\}")
+    out = []
+    for line in txt.splitlines():
+        m = line_re.search(line)
+        if not m:
+            continue
+        nbytes = 0
+        for d, dims in shape_re.findall(m.group(1)):
+            n = 1
+            for x in dims.split(","):
+                if x:
+                    n *= int(x)
+            nbytes += dt[d] * n
+        mi = iota_re.search(line)
+        me = expl_re.search(line)
+        gsz = (int(mi.group(2)) if mi
+               else len(me.group(1).split(",")) if me else -1)
+        axis = {gs_size: "gs", data_size: "data"}.get(gsz, f"size{gsz}")
+        out.append((m.group(2), axis, nbytes))
+    return out
+
+
+def test_collective_accounting_sharded_step():
+    """Deterministic partitioning guard: the compiled sharded step must
+    contain exactly the expected collectives — per-gaussian attribute
+    all-gathers over gs, the attribute-cotangent psum over gs, parameter/
+    stats psums over data — and nothing else (no collective-permute,
+    all-to-all, or reduce-scatter; no collective spanning the full mesh).
+    Catches a partitioning regression (e.g. replicated params turning the
+    gradient psum into a capacity-sized all-reduce) without timing at all."""
+    mesh = make_mesh(8)  # (data 2, gs 4)
+    scene, pool, bcam, gt = _setup(b=2, cap_round=8)
+    step = make_sharded_train_step(mesh, CONFIG, scene["scene_size"], max_steps=50)
+    adam_state = adam_init(pool.params())
+    stats = density_stats_init(pool.capacity)
+    pool, adam_state, stats = shard_pool(mesh, pool, adam_state, stats)
+    bcam_s, gt_s = shard_batch(mesh, bcam), shard_batch(mesh, gt)
+    txt = step.lower(pool, adam_state, stats, bcam_s, gt_s).compile().as_text()
+
+    acc = _collective_accounting(txt, gs_size=4, data_size=2)
+    assert acc, "no collectives found — parser or partitioning broke"
+    bad = [a for a in acc if a[0] not in ("all-gather", "all-reduce")]
+    assert not bad, f"unexpected collective kinds: {bad}"
+    unclassified = [a for a in acc if a[1] not in ("gs", "data")]
+    assert not unclassified, f"collectives on unexpected groups: {unclassified}"
+
+    cap, b_local = 64, 1  # capacity; per-data-shard batch (B=2 over data=2)
+    # 1) attribute all-gathers over gs: us[2] cinv2ds[3] alphas[1] colors[3]
+    #    depths[1] areas[2] (f32) + valid (pred) per local camera
+    gather_gs = sum(n for op, ax, n in acc if op == "all-gather" and ax == "gs")
+    assert gather_gs == b_local * cap * (12 * 4 + 1), acc
+    # no all-gather may ride the data axis (images/losses stay data-local)
+    assert not any(op == "all-gather" and ax == "data" for op, ax, n in acc), acc
+    # 2) attribute-cotangent psum over gs: d_us[2] d_cinv2ds[3] d_colors[3]
+    #    d_alphas[1] f32 rows (shard_map transpose of the replicated-over-gs
+    #    raster inputs)
+    reduce_gs = sum(n for op, ax, n in acc if op == "all-reduce" and ax == "gs")
+    assert reduce_gs == b_local * cap * 9 * 4, acc
+    # 3) gradient/stats psum over data: at least the parameter-shard grads
+    #    (pws 3 + shs 48 + alphas 1 + scales 3 + rots 4 = 59 f32/gaussian on
+    #    a 16-row shard) + the [cap,2] screen-grad accumulator; bounded above
+    #    to catch accidental replication (full-capacity grads would be 4x)
+    reduce_data = sum(n for op, ax, n in acc if op == "all-reduce" and ax == "data")
+    floor = 16 * 59 * 4 + cap * 2 * 4
+    assert floor <= reduce_data <= 2 * floor, (reduce_data, floor, acc)
+
+
 def test_sharded_fused_preprocess_matches_stages(monkeypatch):
     """EGS_FUSED_PRE=1 on the sharded step (fused Pallas preprocess under
     shard_map over the full (data, gs) mesh) reproduces the default
