@@ -131,12 +131,26 @@ class SceneRenderer:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
+    LORES_DIV = 4  # drag-preview downscale (one extra jit cache entry)
+
     def render(self, *, azimuth=0.0, elevation=0.3, radius=None, center=None,
                width=640, height=480, mode="normal", markers=False, cloud=False,
-               axes=False, grid=False, fov_f=0.9, cloud_mode="rgb"):
-        """Render one view; returns [H,W,3] uint8."""
+               axes=False, grid=False, fov_f=0.9, cloud_mode="rgb", lores=False):
+        """Render one view; returns [H,W,3] uint8.
+
+        `lores`: render at 1/LORES_DIV resolution — the interactive-drag
+        preview (the browser scales it back up; a full-resolution frame
+        follows on mouse release). The TPU-side counterpart of the reference
+        viewer's drag trick of re-sorting only when the view z-axis moves
+        (gaussian_item.py:225-237): there the expensive step is the sort,
+        here it is pixels, so the preview cuts pixels 16x instead. The
+        camera is rebuilt from the same fov_f, so fx scales with width and
+        the field of view is identical."""
         import jax
 
+        if lores:
+            width = max(64, width // self.LORES_DIV)
+            height = max(48, height // self.LORES_DIV)
         center = np.asarray(center if center is not None else self.center, np.float64)
         radius = float(radius or self.radius)
         pos = center + radius * np.array([
@@ -286,6 +300,7 @@ def make_handler(renderer):
                         grid=q.get("grid", "0") == "1",
                         fov_f=float(q.get("fov", 0.9)),
                         cloud_mode=q.get("cloud_mode", "rgb"),
+                        lores=q.get("lores", "0") == "1",
                     )
                     body, ctype = _encode(img, q.get("fmt", "jpeg"))
                     self._send(200, body, ctype)

@@ -105,6 +105,34 @@ def test_overlays_toggle(renderer):
     assert len(renderer._jit_cache) == cache_before  # toggles don't recompile
 
 
+def test_lores_drag_preview(server_url, renderer):
+    """The interactive-drag preview (`lores=1`, VERDICT r3 item 7): frames
+    come back at 1/4 resolution (16x fewer pixels over the tunnel), the
+    view matches the full-resolution render (same camera, just coarser),
+    and it costs exactly one extra jit cache entry."""
+    from PIL import Image
+
+    status, ctype, body = _get(
+        server_url + "/render?az=0.7&el=0.3&w=256&h=192&fmt=png&lores=1"
+    )
+    assert status == 200 and ctype == "image/png"
+    im = Image.open(io.BytesIO(body))
+    assert im.size == (64, 48)  # 256x192 / LORES_DIV
+
+    cache_before = len(renderer._jit_cache)
+    full = renderer.render(azimuth=0.7, elevation=0.3, width=256, height=192)
+    lo = renderer.render(azimuth=0.7, elevation=0.3, width=256, height=192,
+                         lores=True)
+    assert full.shape == (192, 256, 3) and lo.shape == (48, 64, 3)
+    # repeated lores renders reuse one cache entry per resolution
+    renderer.render(azimuth=0.9, elevation=0.2, width=256, height=192, lores=True)
+    assert len(renderer._jit_cache) <= cache_before + 2
+    # same view: the 4x box-downsampled full frame approximates the preview
+    box = np.asarray(full, np.float32).reshape(48, 4, 64, 4, 3).mean((1, 3))
+    diff = np.abs(box - np.asarray(lo, np.float32)).mean()
+    assert diff < 12.0, f"lores preview diverges from the full view: {diff}"
+
+
 def test_bad_route_404(server_url):
     import urllib.error
 
