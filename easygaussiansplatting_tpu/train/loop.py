@@ -316,6 +316,9 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
             log_fn(f"[epoch {e}] alpha reset")
 
         history["n_alive"].append(int(pool.n_alive()))
+        # budget-ladder trace: one entry per epoch (the full-regime scene
+        # proxy records ladder switches against the PSNR/wall curve)
+        history.setdefault("budget", []).append(int(budget.value))
         if e % eval_every == 0 or e == config.epochs:
             img, _ = render_pool_image(pool, cameras[0], config, need_grads=False)
             p = float(psnr(jnp.clip(img, 0, 1), jnp.clip(gt_images[0], 0, 1)))

@@ -46,6 +46,15 @@ def main():
                          "reconstructing gaussians from their own clean "
                          "renders understates densification work vs real "
                          "photos (VERDICT r2). Separate baseline row.")
+    ap.add_argument("--full", action="store_true",
+                    help="full-regime run (VERDICT r3 item 4): do NOT stop "
+                         "at the PSNR target — run the reference recipe "
+                         "through the whole densify window (every 5 epochs "
+                         "<= 50, alpha reset every 15) with the ADAPTIVE "
+                         "budget ladder on, and emit the per-epoch "
+                         "psnr/wall/alive/budget curve as JSON. Exercises "
+                         "the pool growth + ladder switches the stop-at-25 "
+                         "run never reaches.")
     args = ap.parse_args()
 
     import jax
@@ -96,9 +105,12 @@ def main():
     config = TrainConfig(
         epochs=args.epochs, backend="pallas" if jax.default_backend() == "tpu"
         else "tiled", max_patches=max_patches,
-        # fixed budget: the benchmark wants one compile, not an adaptive
-        # resize schedule (first compile over the tunnel is minutes)
-        adaptive_budget=False,
+        # fixed budget for the standing time-to-25 row: that benchmark wants
+        # one compile, not an adaptive resize schedule (first compile over
+        # the tunnel is minutes). The --full regime instead turns the ladder
+        # ON — its switches under densify-driven growth are part of what it
+        # measures.
+        adaptive_budget=args.full,
     )
     t_gt = time.time()
     # keep GT on the device: materialising to numpy would round-trip ~640 MB
@@ -143,7 +155,9 @@ def main():
     eval_cams = [scene["cameras"][i] for i in eval_ids]
     eval_gts = [jnp.asarray(gt_images[i]) for i in eval_ids]
 
-    state = {"t0": None, "t_hit": None, "psnr": 0.0, "epoch_hit": None}
+    state = {"t0": None, "t_hit": None, "psnr": 0.0, "epoch_hit": None,
+             "curve": []}
+    t_start = time.time()
 
     def eval_psnr(pool, config):
         from easygaussiansplatting_tpu.train.loop import render_pool_image
@@ -154,19 +168,30 @@ def main():
             vals.append(float(psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1))))
         return float(np.mean(vals))
 
-    def cb(epoch, pool, adam_state=None, stats=None, key=None):
+    def cb(epoch, pool, adam_state=None, stats=None, key=None, history=None):
         if state["t0"] is None:
             state["t0"] = time.time()  # first epoch done: compile excluded below
-        if state["t_hit"] is None:
-            p = eval_psnr(pool, config)
-            state["psnr"] = p
-            print(f"  [epoch {epoch}] eval psnr {p:.2f}", flush=True)
-            if p >= args.target_psnr:
-                state["t_hit"] = time.time()
-                state["epoch_hit"] = epoch
+        if state["t_hit"] is not None and not args.full:
+            return
+        p = eval_psnr(pool, config)
+        state["psnr"] = p
+        row = {
+            "epoch": epoch,
+            "wall_s": round(time.time() - t_start, 1),
+            "psnr": round(p, 3),
+            "alive": int(pool.n_alive()),
+            "budget": history["budget"][-1] if history else None,
+            "overflow_steps": history["overflow_steps"][-1] if history else None,
+        }
+        state["curve"].append(row)
+        print(f"  [epoch {epoch}] eval psnr {p:.2f} alive {row['alive']} "
+              f"budget {row['budget']}", flush=True)
+        if p >= args.target_psnr and state["t_hit"] is None:
+            state["t_hit"] = time.time()
+            state["epoch_hit"] = epoch
+            if not args.full:
                 raise StopIteration  # caught below: target reached
 
-    t_start = time.time()
     try:
         pool, history = train(
             pool, scene["cameras"], gt_images, config, scene["scene_size"],
@@ -176,13 +201,31 @@ def main():
         pass
     wall = (state["t_hit"] or time.time()) - t_start
 
-    print(json.dumps({
-        "metric": "time_to_psnr25_realism" if args.realism else "time_to_psnr25",
-        "value": round(wall, 1),
-        "unit": f"s wall (incl. compile) to psnr>={args.target_psnr}, "
-                f"epoch {state['epoch_hit']}, final psnr {state['psnr']:.2f}",
-        "vs_baseline": 0.0,
-    }))
+    suffix = "_realism" if args.realism else ""
+    if args.full:
+        # the per-epoch curve first (one JSON line, greppable), then the
+        # summary row — time-to-target still reported if the target was hit
+        print(json.dumps({"curve" + suffix: state["curve"]}))
+        print(json.dumps({
+            "metric": "truck_full_regime" + suffix,
+            "value": round(state["psnr"], 2),
+            "unit": (f"final psnr @ epoch {len(state['curve'])}, "
+                     f"{round(time.time() - t_start, 1)}s wall; "
+                     + (f"psnr>={args.target_psnr} at epoch "
+                        f"{state['epoch_hit']} ({round(wall, 1)}s); "
+                        if state["epoch_hit"] is not None
+                        else f"psnr>={args.target_psnr} not reached; ")
+                     + f"alive {state['curve'][-1]['alive'] if state['curve'] else 0}"),
+            "vs_baseline": 0.0,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "time_to_psnr25" + suffix,
+            "value": round(wall, 1),
+            "unit": f"s wall (incl. compile) to psnr>={args.target_psnr}, "
+                    f"epoch {state['epoch_hit']}, final psnr {state['psnr']:.2f}",
+            "vs_baseline": 0.0,
+        }))
 
 
 if __name__ == "__main__":
