@@ -56,6 +56,14 @@ VARIANTS = [
                             "EGS_SUB": "64"}),
     ("all", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
              "EGS_GRAD_PERM": "1"}),
+    # ---- phase 2: winner combos (run with --only after the main sweep;
+    # r4 mid-sweep standings: sub64 14.26, budget589824 13.94, base 13.63)
+    ("sub64_b589824", {"EGS_SUB": "64", "EGS_MAX_PATCHES": "589824"}),
+    ("sub64_b589824_k1024", {"EGS_SUB": "64", "EGS_MAX_PATCHES": "589824",
+                             "EGS_KCHUNK": "1024"}),
+    ("sub64_b573440", {"EGS_SUB": "64", "EGS_MAX_PATCHES": "573440"}),
+    ("logscan_sub64_b589824", {"EGS_LOG_SCAN": "1", "EGS_SUB": "64",
+                               "EGS_MAX_PATCHES": "589824"}),
 ]
 
 
