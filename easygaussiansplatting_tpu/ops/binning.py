@@ -249,7 +249,23 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     mp_bits = max(1, (max_patches - 1).bit_length())
     tids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     on_tpu = jax.default_backend() == "tpu" and us.dtype != jnp.float64
-    if (n_tiles + 1) << mp_bits <= 2**31:
+    if env_flag("EGS_RADIX_SORT"):
+        # Pallas two-pass counting sort (ops/pallas/radix.py): the patch
+        # array is already in slot order, so the tile sort is a stable
+        # small-alphabet partition — chunk-local bitonic + one DMA move per
+        # (bucket, chunk) run replaces the comparator-network sort. Stable
+        # by construction: no (tile, slot) key packing needed. Opt-in
+        # pending the r4 on-chip A/B (replaces thrust::sort_by_key,
+        # gausplat.cu:82).
+        from easygaussiansplatting_tpu.ops.pallas.radix import (
+            counting_sort_by_tile,
+        )
+
+        tile_sorted, gsid_sorted = counting_sort_by_tile(
+            tile_id, gsid, n_tiles=n_tiles
+        )
+        bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
+    elif (n_tiles + 1) << mp_bits <= 2**31:
         key = (tile_id << mp_bits) | m
         key_sorted, gsid_sorted = jax.lax.sort_key_val(key, gsid)
         tile_sorted = key_sorted >> mp_bits

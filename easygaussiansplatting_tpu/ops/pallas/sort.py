@@ -88,7 +88,7 @@ def _stage(gflat, keys, vals, j, k, n_keys):
 
 
 def _local_kernel(*refs, block, n_arrays, n_keys, seq_from, seq_to,
-                  live_blocks=None):
+                  live_blocks=None, independent=False):
     """All stages with seq in [seq_from, seq_to] and j < block, in VMEM.
 
     seq_from == 2: full local bitonic sort. seq_from == seq_to > block: the
@@ -98,11 +98,16 @@ def _local_kernel(*refs, block, n_arrays, n_keys, seq_from, seq_to,
     through. It must NOT be applied to merge rounds — descending bitonic
     runs move pad keys to the run *front*, pushing live elements into tail
     blocks mid-network.
+
+    `independent`: direction bits come from the BLOCK-LOCAL iota, so every
+    block sorts ascending on its own (sort_blocks). The default global
+    iota leaves adjacent blocks counter-directed — correct as the first
+    phase of the full network, wrong for standalone per-block sorts.
     """
     ins = refs[:n_arrays]
     outs = refs[n_arrays:]
     sub = block // LANES
-    gflat = _flat_iota(sub, pl.program_id(0) * block)
+    gflat = _flat_iota(sub, 0 if independent else pl.program_id(0) * block)
 
     def run():
         keys = [r[:] for r in ins[:n_keys]]
@@ -220,6 +225,46 @@ def _sort_padded(arrs, *, block, interpret, n_arrays, group=None, n_keys=1,
         arrs2d = call_local(arrs2d, group, seq, seq)
         seq *= 2
     return [a.reshape(m) for a in arrs2d]
+
+
+@partial(jax.jit, static_argnames=("block", "interpret", "n_arrays", "n_keys"))
+def _sort_blocks_padded(arrs, *, block, interpret, n_arrays, n_keys):
+    m = arrs[0].shape[0]
+    arrs2d = [a.reshape(m // LANES, LANES) for a in arrs]
+    sub = block // LANES
+    own = pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _local_kernel, block=block, n_arrays=n_arrays, n_keys=n_keys,
+        seq_from=2, seq_to=block, live_blocks=None, independent=True,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(m // block,),
+        in_specs=[own] * n_arrays,
+        out_specs=[own] * n_arrays,
+        out_shape=_shapes(arrs2d),
+        interpret=interpret,
+    )(*arrs2d)
+    return [a.reshape(m) for a in out]
+
+
+def sort_blocks(keys, *vals, block, n_keys=1, interpret=None):
+    """Sort each consecutive `block`-element slice INDEPENDENTLY (ascending
+    by the first n_keys arrays lexicographically; remaining arrays ride as
+    payload). The counting-sort passes of ops/pallas/radix.py use this as
+    their in-VMEM chunk sorter; callers must pad to a multiple of `block`
+    themselves (radix keys carry their own padding semantics). `block` must
+    be a power of two multiple of 128."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = keys.shape[0]
+    if block & (block - 1) or block % LANES or m % block:
+        raise ValueError(f"block {block} must be a pow2 multiple of {LANES} "
+                         f"dividing m={m}")
+    arrs = [keys] + list(vals)
+    return _sort_blocks_padded(tuple(arrs), block=block,
+                               interpret=bool(interpret),
+                               n_arrays=len(arrs), n_keys=n_keys)
 
 
 def _pow2_floor(n):

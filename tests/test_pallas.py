@@ -323,6 +323,7 @@ def test_pallas_parity_seed_fuzz(seed):
 # rejects non-HIGHEST dot precisions inside Pallas kernels, so kernels.py
 # pins both knobs (with a warning) and there is no variant left to test.
 VARIANT_ENVS = [
+    {"EGS_RADIX_SORT": "1"},
     {"EGS_LOG_SCAN": "1"},
     {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"},
     {"EGS_SUB": "32"},
