@@ -198,19 +198,19 @@ def _concat_dma(arrs, run_lo, run_len, out_start, *, n_arrays, chunk,
     return [o.reshape(-1)[:m] for o in outs]
 
 
-def _bucket_pass(tile, vals, digit, n_buckets, *, chunk, interpret, dma):
-    """One stable counting-sort pass by `digit` (same length as tile)."""
-    m = tile.shape[0]
+def _bucket_pass(key, vals, digit, n_buckets, *, chunk, interpret, dma):
+    """One stable counting-sort pass by `digit` (same length as key)."""
+    m = key.shape[0]
     pos_bits = max(1, (m - 1).bit_length())
     assert (n_buckets - 1) << pos_bits <= 2**31 - 1, "composite overflows"
     comp = (digit << pos_bits) | jnp.arange(m, dtype=jnp.int32)
-    sorted_arrs = sort_blocks(comp, tile, *vals, block=chunk,
+    sorted_arrs = sort_blocks(comp, key, *vals, block=chunk,
                               interpret=interpret)
-    tile_s = sorted_arrs[1]
+    key_s = sorted_arrs[1]
     vals_s = sorted_arrs[2:]
     digit_s = sorted_arrs[0] >> pos_bits
     run_lo, run_len, out_start = _bucket_tables(digit_s, n_buckets, chunk)
-    move = [tile_s] + list(vals_s)
+    move = [key_s] + list(vals_s)
     if dma:
         out = _concat_dma(tuple(move), run_lo, run_len, out_start,
                           n_arrays=len(move), chunk=chunk,
@@ -220,35 +220,43 @@ def _bucket_pass(tile, vals, digit, n_buckets, *, chunk, interpret, dma):
     return out[0], out[1:]
 
 
-def counting_sort_by_tile(tile, *vals, n_tiles, chunk=32768, interpret=None,
-                          dma=None):
-    """Stable sort of (tile, *vals) by tile ascending; input order is the
-    tie order. `tile` values must lie in [0, n_tiles] (n_tiles itself is
-    binning's padding bucket). int32 payloads only.
+def counting_sort(key, *vals, key_bound, chunk=32768, interpret=None,
+                  dma=None):
+    """Stable sort of (key, *vals) by key ascending; input order is the tie
+    order. Keys must lie in [0, key_bound). int32 arrays only.
 
-    chunk: in-VMEM local-sort block; shrunk to the largest power of two
-    dividing m. dma: force the Pallas DMA concatenation (default: on-TPU
-    only; the XLA scatter path is the oracle elsewhere).
+    LSD over 6-bit digits: ceil(log64(key_bound)) passes, the last pass
+    with an exact (non-padded) bucket count. chunk: in-VMEM local-sort
+    block; shrunk to the largest power of two dividing m. dma: force the
+    Pallas DMA concatenation (default: on-TPU only; the XLA scatter path
+    is the oracle elsewhere).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if dma is None:
         dma = not interpret
-    m = tile.shape[0]
+    m = key.shape[0]
     chunk = min(chunk, m)
     while m % chunk:
         chunk //= 2
     if chunk < LANES:
         raise ValueError(f"m={m} has no usable pow2 chunk >= {LANES}")
     vals = list(vals)
-    tile, lo_vals = _bucket_pass(
-        tile, vals, tile & 63, min(64, n_tiles + 1),
-        chunk=chunk, interpret=interpret, dma=dma,
-    )
-    if n_tiles + 1 > 64:
-        n_hi = (n_tiles >> 6) + 1
-        tile, lo_vals = _bucket_pass(
-            tile, lo_vals, tile >> 6, n_hi,
+    shift = 0
+    while True:
+        top = (key_bound - 1) >> shift  # max digit value at this level
+        last = top < 64
+        digit = (key >> shift) if last else (key >> shift) & 63
+        key, vals = _bucket_pass(
+            key, vals, digit, (top + 1) if last else 64,
             chunk=chunk, interpret=interpret, dma=dma,
         )
-    return (tile, *lo_vals)
+        if last:
+            return (key, *vals)
+        shift += 6
+
+
+def counting_sort_by_tile(tile, *vals, n_tiles, **kw):
+    """Binning's entry point: tile values in [0, n_tiles], where n_tiles
+    itself is the padding bucket."""
+    return counting_sort(tile, *vals, key_bound=n_tiles + 1, **kw)

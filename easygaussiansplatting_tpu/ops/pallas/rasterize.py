@@ -192,7 +192,24 @@ def _sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, n):
     key = jnp.where(live, gsafe, jnp.iinfo(jnp.int32).max)
     from easygaussiansplatting_tpu.utils.envflag import env_flag
 
-    if env_flag("EGS_GRAD_PERM"):
+    if env_flag("EGS_RADIX_REDUCE"):
+        # counting-sort variant of the perm path: 3+ LSD passes over 6-bit
+        # gsid digits (ops/pallas/radix.py) instead of the full bitonic
+        # network; dead patches key to bucket n and sink to the end (the
+        # sentinel is restored after so the segment-boundary flags below
+        # see the same keys as the bitonic paths).
+        from easygaussiansplatting_tpu.ops.pallas.radix import counting_sort
+
+        skey, pos = counting_sort(
+            jnp.where(live, gsafe, n), jnp.arange(m, dtype=jnp.int32),
+            key_bound=n + 1,
+        )
+        skey = jnp.where(skey == n, jnp.iinfo(jnp.int32).max, skey)
+        rows16 = jnp.concatenate(
+            [rows_ct, jnp.zeros((PACK_ROWS - GRAD_USED, m), rows_ct.dtype)]
+        )
+        svals = jnp.take(rows16.T, pos, axis=0).T[:GRAD_USED]  # [9, M]
+    elif env_flag("EGS_GRAD_PERM"):
         # Bitonic payload width dominates sort cost (10 columns ~2x the
         # 2-column time): sort only (key, position), then move the 9
         # gradient rows with one 64-byte row gather through a transposed

@@ -64,6 +64,21 @@ VARIANTS = [
     ("sub64_b573440", {"EGS_SUB": "64", "EGS_MAX_PATCHES": "573440"}),
     ("logscan_sub64_b589824", {"EGS_LOG_SCAN": "1", "EGS_SUB": "64",
                                "EGS_MAX_PATCHES": "589824"}),
+    # grad_perm stacked on the leaders (r4 main sweep: sub64 14.26,
+    # kchunk1024_sub64 14.08, budget589824 13.94, grad_perm 13.79)
+    ("sub64_gp_b589824", {"EGS_SUB": "64", "EGS_GRAD_PERM": "1",
+                          "EGS_MAX_PATCHES": "589824"}),
+    ("sub64_gp", {"EGS_SUB": "64", "EGS_GRAD_PERM": "1"}),
+    # the Pallas counting sort (ops/pallas/radix.py) vs the XLA radix
+    # sort_key_val it replaces — alone and under the leading combo
+    ("radix", {"EGS_RADIX_SORT": "1"}),
+    ("radix_sub64_gp_b589824", {"EGS_RADIX_SORT": "1", "EGS_SUB": "64",
+                                "EGS_GRAD_PERM": "1",
+                                "EGS_MAX_PATCHES": "589824"}),
+    # counting-sort gradient reduction (3 LSD passes by gsid digits)
+    # instead of the full bitonic perm sort
+    ("radixred_sub64_b589824", {"EGS_RADIX_REDUCE": "1", "EGS_SUB": "64",
+                                "EGS_MAX_PATCHES": "589824"}),
 ]
 
 

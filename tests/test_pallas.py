@@ -194,14 +194,17 @@ def test_pallas_subchunked_kernels_match(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
-@pytest.mark.parametrize("perm", [False, True])
-def test_sort_reduce_grads_matches_scatter(rng, perm, monkeypatch):
-    """The TPU gradient-accumulation path (sort + segmented sum, both payload
-    transports) must equal the XLA scatter-add oracle."""
-    if perm:
+@pytest.mark.parametrize("mode", ["default", "perm", "radix"])
+def test_sort_reduce_grads_matches_scatter(rng, mode, monkeypatch):
+    """The TPU gradient-accumulation path (sort + segmented sum, all three
+    payload transports: full bitonic, perm-sort + row gather, counting-sort
+    + row gather) must equal the XLA scatter-add oracle."""
+    monkeypatch.delenv("EGS_GRAD_PERM", raising=False)
+    monkeypatch.delenv("EGS_RADIX_REDUCE", raising=False)
+    if mode == "perm":
         monkeypatch.setenv("EGS_GRAD_PERM", "1")
-    else:
-        monkeypatch.delenv("EGS_GRAD_PERM", raising=False)
+    elif mode == "radix":
+        monkeypatch.setenv("EGS_RADIX_REDUCE", "1")
     from easygaussiansplatting_tpu.ops.pallas.rasterize import (
         GRAD_USED, _sort_reduce_grads,
     )
@@ -324,6 +327,7 @@ def test_pallas_parity_seed_fuzz(seed):
 # pins both knobs (with a warning) and there is no variant left to test.
 VARIANT_ENVS = [
     {"EGS_RADIX_SORT": "1"},
+    {"EGS_RADIX_REDUCE": "1"},
     {"EGS_LOG_SCAN": "1"},
     {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"},
     {"EGS_SUB": "32"},

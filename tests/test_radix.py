@@ -97,6 +97,26 @@ def test_stability_within_tile():
 
 
 @pytest.mark.parametrize("dma", [False, True])
+def test_multi_pass_large_key_bound(dma):
+    # 3 LSD passes (key_bound 70000 > 64^2): the gradient-reduce regime,
+    # keys = gaussian ids with the dead-patch sentinel bucket at the top
+    from easygaussiansplatting_tpu.ops.pallas.radix import counting_sort
+
+    rng = np.random.default_rng(6)
+    m, bound = 2048, 70000
+    key = rng.integers(0, bound, m)
+    key[rng.random(m) < 0.1] = bound - 1  # sentinel bucket
+    pos = np.arange(m)
+    ks, ps = counting_sort(
+        jnp.asarray(key, jnp.int32), jnp.asarray(pos, jnp.int32),
+        key_bound=bound, chunk=512, interpret=True, dma=dma,
+    )
+    order = np.argsort(key, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ks), key[order])
+    np.testing.assert_array_equal(np.asarray(ps), pos[order])
+
+
+@pytest.mark.parametrize("dma", [False, True])
 def test_odd_m_chunk_shrink(dma):
     # m = 1536 = 3 * 512: chunk auto-shrinks to a dividing power of two
     rng = np.random.default_rng(5)
