@@ -139,3 +139,48 @@ def sh_basis(xp, x, y, z, degree: int):
         SH_C5[10] * x * (xx * xx - 10.0 * xx * yy + 5.0 * yy * yy),
     ]
     return out
+
+
+def sh_basis_grad(xp, x, y, z, degree: int):
+    """Gradients of the degree-0..3 basis polynomials w.r.t. the (pre-
+    normalisation-chain) direction components: a list of (dY/dx, dY/dy,
+    dY/dz) triples in :func:`sh_basis` order. Rendering evaluates degrees
+    <= 3; the analytic-Jacobian harness (golden/analytic.py) chains these
+    through the direction normalisation."""
+    if degree > 3:
+        raise NotImplementedError("analytic SH gradients cover degrees <= 3")
+    zero = xp.zeros_like(x)
+    out = [(zero, zero, zero)]  # Y0,0 constant
+    if degree >= 1:
+        c = SH_C1
+        one = xp.ones_like(x)
+        out += [
+            (zero, c[0] * one, zero),          # c*y
+            (zero, zero, c[1] * one),          # c*z
+            (c[2] * one, zero, zero),          # c*x
+        ]
+    if degree >= 2:
+        c = SH_C2
+        out += [
+            (c[0] * y, c[0] * x, zero),                        # xy
+            (zero, c[1] * z, c[1] * y),                        # yz
+            (-2 * c[2] * x, -2 * c[2] * y, 4 * c[2] * z),      # 2z^2-x^2-y^2
+            (c[3] * z, zero, c[3] * x),                        # xz
+            (2 * c[4] * x, -2 * c[4] * y, zero),               # x^2-y^2
+        ]
+    if degree >= 3:
+        c = SH_C3
+        xx, yy, zz = x * x, y * y, z * z
+        out += [
+            (c[0] * 6 * x * y, c[0] * (3 * xx - 3 * yy), zero),
+            (c[1] * y * z, c[1] * x * z, c[1] * x * y),
+            (c[2] * (-2 * x * y), c[2] * (4 * zz - xx - 3 * yy),
+             c[2] * 8 * y * z),
+            (c[3] * (-6 * x * z), c[3] * (-6 * y * z),
+             c[3] * (6 * zz - 3 * xx - 3 * yy)),
+            (c[4] * (4 * zz - 3 * xx - yy), c[4] * (-2 * x * y),
+             c[4] * 8 * x * z),
+            (c[5] * 2 * x * z, c[5] * (-2 * y * z), c[5] * (xx - yy)),
+            (c[6] * (3 * xx - 3 * yy), c[6] * (-6 * x * y), zero),
+        ]
+    return out

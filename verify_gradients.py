@@ -14,9 +14,12 @@ every Jacobian) and backward_gpu.py (device-vs-CPU parity): on the canonical
     kernels at a scale-relative fp32 tolerance (reference checks its device
     gradients too, backward_gpu.py:81-162).
 
-27 checks (28 on TPU, where a multi-scan-block sort-reduce-vs-scatter
+35 checks (36 on TPU, where a multi-scan-block sort-reduce-vs-scatter
 parity check runs at M=131072 — fixture scale cannot exercise inter-block
-carries); exit code 0 iff everything is [OK].
+carries); exit code 0 iff everything is [OK]. The count includes the 8
+hand-derived analytic Jacobian checks (golden/analytic.py — the third,
+autodiff-independent gradient implementation, mirroring the reference's
+backward_cpu.py:68-499).
 """
 
 import sys
@@ -118,6 +121,55 @@ def main():
         lambda c2: golden.inverse_cov2d(c2)[0],
         [cov2d_g], wrt=[0],
     )
+
+    # ---- 2b. hand-derived analytic Jacobians (third implementation) -------
+    # golden/analytic.py closes the triangle the reference closes with
+    # backward_cpu.py: hand derivation vs numerics, independent of autodiff.
+    from easygaussiansplatting_tpu.golden import analytic
+
+    def blocks(J, out_per, in_per):
+        nb = J.shape[0] // out_per
+        return np.stack([
+            J[i * out_per:(i + 1) * out_per, i * in_per:(i + 1) * in_per]
+            for i in range(nb)
+        ])
+
+    du_a, dz_a = analytic.project_jacobians(
+        g["pws"], c["Rcw"], c["tcw"], c["fx"], c["fy"])
+    J = numerical_derivative(
+        lambda p: golden.project(p, c["Rcw"], c["tcw"], c["fx"], c["fy"],
+                                 c["cx"], c["cy"])[0], [g["pws"]], 0)
+    ok &= check(du_a, blocks(J, 2, 3), name="analytic project Jacobian")
+    dq_a, ds_a = analytic.cov3d_jacobians(g["rots"], g["scales"])
+    J = numerical_derivative(
+        lambda r: golden.compute_cov3d(r, g["scales"]), [g["rots"]], 0)
+    ok &= check(dq_a, blocks(J, 6, 4), name="analytic cov3d dq Jacobian")
+    J = numerical_derivative(
+        lambda s: golden.compute_cov3d(g["rots"], s), [g["scales"]], 0)
+    ok &= check(ds_a, blocks(J, 6, 3), name="analytic cov3d ds Jacobian")
+    dsig_a, dpc_a = analytic.cov2d_jacobians(
+        cov3d_g, pcs_g, c["Rcw"], c["fx"], c["fy"], c["width"], c["height"])
+    J = numerical_derivative(
+        lambda c3: golden.compute_cov2d(c3, pcs_g, c["Rcw"], c["fx"],
+                                        c["fy"], c["width"], c["height"]),
+        [cov3d_g], 0)
+    ok &= check(dsig_a, blocks(J, 3, 6), name="analytic cov2d Jacobian")
+    J = numerical_derivative(
+        lambda pc: golden.compute_cov2d(cov3d_g, pc, c["Rcw"], c["fx"],
+                                        c["fy"], c["width"], c["height"]),
+        [pcs_g], 0)
+    ok &= check(dpc_a, blocks(J, 3, 3), name="analytic cov2d dpc Jacobian")
+    dshs_a, dpws_a = analytic.sh2color_jacobians(shs, g["pws"], twc_g)
+    J = numerical_derivative(
+        lambda h: golden.sh2color(h, g["pws"], twc_g), [shs], 0)
+    ok &= check(dshs_a, blocks(J, 3, 48), name="analytic sh2color dshs")
+    J = numerical_derivative(
+        lambda p: golden.sh2color(shs, p, twc_g), [g["pws"]], 0)
+    ok &= check(dpws_a, blocks(J, 3, 3), name="analytic sh2color dpws")
+    J = numerical_derivative(
+        lambda c2: golden.inverse_cov2d(c2)[0], [cov2d_g], 0)
+    ok &= check(analytic.conic_jacobians(cov2d_g), blocks(J, 3, 3),
+                name="analytic conic Jacobian")
 
     # ---- 3. rendered-image parity ------------------------------------------
     img_g, _ = golden.render(
