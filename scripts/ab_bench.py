@@ -79,6 +79,14 @@ VARIANTS = [
     # instead of the full bitonic perm sort
     ("radixred_sub64_b589824", {"EGS_RADIX_REDUCE": "1", "EGS_SUB": "64",
                                 "EGS_MAX_PATCHES": "589824"}),
+    # ---- phase 3: final landing probes (phase-2 leaders: logscan_sub64_
+    # b589824 14.73, sub64_gp_b589824 14.63, sub64_b573440 14.59)
+    ("ls_gp_sub64_b589824", {"EGS_LOG_SCAN": "1", "EGS_GRAD_PERM": "1",
+                             "EGS_SUB": "64", "EGS_MAX_PATCHES": "589824"}),
+    ("ls_sub64_b573440", {"EGS_LOG_SCAN": "1", "EGS_SUB": "64",
+                          "EGS_MAX_PATCHES": "573440"}),
+    ("ls_gp_sub64_b573440", {"EGS_LOG_SCAN": "1", "EGS_GRAD_PERM": "1",
+                             "EGS_SUB": "64", "EGS_MAX_PATCHES": "573440"}),
 ]
 
 
