@@ -62,13 +62,14 @@ def main():
     import os
 
     k_chunk = int(os.environ.get("EGS_KCHUNK", "512"))
-    # ~1.25x headroom over the scene's 549k patches (the r3 on-chip A/B
-    # winner: 13.53 vs 13.31 Mpix/s at the old 786432/1.5x rung). Every
-    # latency-bound stage (tile sort, sort-reduce, scan chains) scales with
-    # the STATIC budget, not the true patch count, and any budget >= the
-    # scene's 549k true patches drops nothing (identical images/grads; the
-    # drop_check below enforces it). EGS_MAX_PATCHES probes other budgets.
-    max_patches = int(os.environ.get("EGS_MAX_PATCHES", "688128")) if on_tpu else 2**14
+    # 573440 = 35*16384, ~1.045x headroom over the scene's 549k patches —
+    # the r4 phase-3 A/B winner (14.97 vs 14.85 @589824, 13.63 @688128).
+    # Every latency-bound stage (tile sort, sort-reduce, scan chains)
+    # scales with the STATIC budget, not the true patch count, and any
+    # budget >= the scene's true patches drops nothing (identical
+    # images/grads; the drop_check below enforces it). EGS_MAX_PATCHES
+    # probes other budgets.
+    max_patches = int(os.environ.get("EGS_MAX_PATCHES", "573440")) if on_tpu else 2**14
     max_rows = 262144 if on_tpu else None  # rows ~ patches / mean splat width
 
     @jax.jit

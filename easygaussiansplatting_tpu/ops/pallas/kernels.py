@@ -52,51 +52,34 @@ from easygaussiansplatting_tpu.ops.pallas.lanescan import (
 ALPHA_CLAMP = 0.99
 ALPHA_SKIP = 0.002
 TAU_STOP = 1e-4
-# log-space transmittance replay in the backward (see backward_kernel):
-# opt-in until the on-chip A/B (speed + 27-check parity gate) lands
 import os as _os
 
 from easygaussiansplatting_tpu.utils.envflag import env_flag
 
-LOG_SCAN = env_flag("EGS_LOG_SCAN")
-# analogous MXU log-space path for the forward's prefix product — riskier
-# than the backward's: tau_ex feeds the contribute >= TAU_STOP *decision*,
-# so exp(sum log) rounding can flip borderline contributor bits vs the
-# sequential product of the tiled/golden backends. Opt-in until the on-chip
-# A/B (speed + full parity gate) decides.
-LOG_SCAN_FWD = env_flag("EGS_LOG_SCAN_FWD")
+# Log-space transmittance replay in the backward (see backward_kernel):
+# DEFAULT ON since the r4 on-chip A/B — at SUB=64 the triangular MXU
+# contraction beats the 6-round sublane scan (14.97 vs 14.68 Mpix/s in the
+# winning combo; at the old SUB=128 it LOST, so the two defaults travel
+# together). EGS_LOG_SCAN=0 restores the sequential-scan path (kept: it is
+# the bit-exact mirror of the tiled/golden recurrence and the fallback if a
+# future backend's exp/log rounding drifts).
+# The analogous forward-side log scan was tried and REJECTED on-chip twice
+# (r4: 13.80 vs 14.26 at SUB=64) — the forward's prefix product feeds the
+# contribute >= TAU_STOP decision, and the extra exp/log ops cost more than
+# the 6 scan rounds they replace; that variant is deleted, not flag-gated.
+LOG_SCAN = env_flag("EGS_LOG_SCAN", default=True)
 PACK_ROWS = 16  # attribute columns per patch row (see layout above)
 GRAD_ROWS = 16  # kernel grad-block rows ([16,K] keeps full-tile writes);
 GRAD_USED = 9  # only u/conic/alpha/color columns carry data — the VJP
 # scatter moves just these
+# All kernel dots pin Precision.HIGHEST: Mosaic's dot lowering rejects both
+# per-operand precision tuples ("Per-operand dot precision unsupported",
+# jax 0.8 mosaic/lowering.py:2244) and Precision.HIGH (NotImplementedError,
+# :2254). A mixed (DEFAULT, HIGHEST) triangular contraction would give
+# identical sums in 1x3 systolic passes instead of 3x3 — the 0/1 triangular
+# operand and the <=225 integer moment basis are exact in one bf16 pass —
+# worth re-probing if Mosaic grows per-operand precision.
 _HI = jax.lax.Precision.HIGHEST
-# Precision of the [SUB,SUB] x [SUB,P] triangular-matrix contractions (the
-# MXU scans). The 0/1 triangular operand is EXACT in a single bf16 pass, so
-# "mixed" = (DEFAULT, HIGHEST) would buy 1x3 systolic passes instead of
-# HIGHEST's 3x3 with identical product sums — but Mosaic's dot lowering
-# rejects per-operand precision tuples inside Pallas kernels ("Per-operand
-# dot precision unsupported", jax 0.8 mosaic/lowering.py:2244), so the knob
-# is pinned to HIGHEST until Mosaic grows it; asking for "mixed" warns.
-TRI_PREC = _os.environ.get("EGS_TRI_PREC", "highest")
-if TRI_PREC == "mixed":
-    import warnings as _warnings
-
-    _warnings.warn(
-        "EGS_TRI_PREC=mixed (per-operand dot precision) is not lowerable by"
-        " Mosaic inside Pallas kernels on this backend; using 'highest'.")
-# Precision of the two matmuls whose BOTH operands carry real data (forward
-# color accumulation, backward dcolor). "high" (3 systolic passes vs
-# HIGHEST's 6) was probed in the r3 A/B but Mosaic's dot lowering rejects
-# Precision.HIGH inside Pallas kernels (NotImplementedError, jax 0.8 Mosaic
-# lowering.py:2254), so the knob is pinned to HIGHEST until Mosaic grows
-# the 3-pass mode; asking for "high" warns instead of crashing at trace.
-DOT_PREC = _os.environ.get("EGS_DOT_PREC", "highest")
-if DOT_PREC == "high":
-    import warnings as _warnings
-
-    _warnings.warn(
-        "EGS_DOT_PREC=high is not lowerable by Mosaic inside Pallas kernels"
-        " on this backend; using 'highest'.")
 _DOT = jax.lax.Precision.HIGHEST
 
 
@@ -120,7 +103,7 @@ def _pixel_coords(t, gx, tile, p):
     becomes small exact integers (<= (tile-1)^2 = 225), i.e. EXACT in one
     bf16 pass — which would let a mixed-precision `mom` contraction halve
     its systolic passes once Mosaic supports per-operand dot precision
-    (today the knob is pinned to HIGHEST, see TRI_PREC above)."""
+    (today every dot is pinned to HIGHEST, see _HI above)."""
     tx = t % gx
     ty = t // gx
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -171,8 +154,11 @@ def _chunk_alpha(data, px, py, ox, oy):
 # more unrolled sub-chunk blocks per kernel; power of two >= 8 (validated:
 # a non-power-of-two would make `range(k // sub)` silently skip the
 # trailing k % sub rows of every chunk — corrupt image AND gradients —
-# and break _prod_reduce's halving tree).
-SUB = int(_os.environ.get("EGS_SUB", "128"))
+# and break _prod_reduce's halving tree). Default 64 since the r4 on-chip
+# A/B: 78.9% occupancy + 6 scan rounds beat 128's 65%/7 (14.26 vs 13.63
+# Mpix/s alone; the SUB=32 rung's 3x block-dispatch count made it slower
+# in r3), and [64,64] triangular MXU scans only win at this size.
+SUB = int(_os.environ.get("EGS_SUB", "64"))
 if SUB < 8 or SUB & (SUB - 1):
     raise ValueError(f"EGS_SUB must be a power of two >= 8, got {SUB}")
 
@@ -219,21 +205,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             ap, _ = _chunk_alpha(data, px, py, ox, oy)
             m1 = in_seg & (ap >= ALPHA_SKIP)
             one_m = jnp.where(m1, 1.0 - ap, 1.0)
-            if LOG_SCAN_FWD:
-                # exclusive prefix product in log space: one log, one
-                # strictly-lower-triangular MXU contraction, one exp —
-                # replaces the 7-round sublane Hillis-Steele scan.
-                # one_m >= 0.01 (ALPHA_CLAMP) and masked rows are exactly
-                # 1.0 -> log exactly 0, so masking survives the round-trip.
-                lg = jnp.log(one_m)
-                tri_lt = (
-                    jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
-                    < jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
-                ).astype(jnp.float32)
-                pfx = _tri_dot(tri_lt, lg)  # [SUB,P] excl. prefix sum of logs
-                tau_ex = tau * jnp.exp(pfx)  # (F.6.3)
-            else:
-                tau_ex = tau * prefix_prod_exclusive(one_m)  # [SUB,P] (F.6.3)
+            tau_ex = tau * prefix_prod_exclusive(one_m)  # [SUB,P] (F.6.3)
             contribute = m1 & (tau_ex >= TAU_STOP)  # (F.6.4)
             wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
@@ -241,18 +213,13 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                 colc, wgt, (((0,), (0,)), ((), ())), precision=_DOT,
                 preferred_element_type=jnp.float32,
             )  # [3,P]
-            if LOG_SCAN_FWD:
-                # contribute-masked whole-sub-chunk product via the same
-                # logs: a sublane sum reduce + one [1,P] exp
-                new_tau = tau * jnp.exp(jnp.sum(
-                    jnp.where(contribute, lg, 0.0), axis=0, keepdims=True))
-            else:
-                # contribute-masked whole-sub-chunk product (must match what
-                # the backward's suffix-product replay divides out, B.2.1):
-                # a halving tree reduction costs ~SUB*P multiplies total, vs
-                # 7*SUB*P for the old circular doubling (Mosaic has no
-                # reduce-prod primitive)
-                new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
+            # contribute-masked whole-sub-chunk product (must match what
+            # the backward's suffix-product replay divides out, B.2.1):
+            # a halving tree reduction costs ~SUB*P multiplies total, vs
+            # 7*SUB*P for the old circular doubling (Mosaic has no
+            # reduce-prod primitive). A log-space MXU variant of this
+            # forward scan was REJECTED on the r4 chip A/B (see LOG_SCAN).
+            new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
             tau_s[:] = new_tau
             sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
             idx1 = pos_ref[s] + (subc - lo) + 1  # 1-based position in tile list
@@ -388,12 +355,11 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # (contraction dim P=256 uses the systolic array well; six
             # separate lane reductions + five [SUB,P] multiplies were
             # measured slower). The tile-local basis entries are integers
-            # <= 225 — EXACT in one bf16 pass — so "mixed" drops the basis
-            # operand to DEFAULT with zero rounding cost.
-            mom_prec = ((_HI, jax.lax.Precision.DEFAULT)
-                        if TRI_PREC == "mixed" else _HI)
+            # <= 225 — EXACT in one bf16 pass — a per-operand mixed
+            # precision here would be free once Mosaic lowers it (_HI note
+            # at the top of the file).
             mom = jax.lax.dot_general(
-                dm, q, (((1,), (1,)), ((), ())), precision=mom_prec,
+                dm, q, (((1,), (1,)), ((), ())), precision=_HI,
                 preferred_element_type=jnp.float32,
             )  # [SUB,6]: sum dm * {1, x, y, x^2, xy, y^2}
             s0m = mom[:, 0:1]

@@ -209,12 +209,15 @@ def _sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, n):
             [rows_ct, jnp.zeros((PACK_ROWS - GRAD_USED, m), rows_ct.dtype)]
         )
         svals = jnp.take(rows16.T, pos, axis=0).T[:GRAD_USED]  # [9, M]
-    elif env_flag("EGS_GRAD_PERM"):
+    elif env_flag("EGS_GRAD_PERM", default=True):
         # Bitonic payload width dominates sort cost (10 columns ~2x the
         # 2-column time): sort only (key, position), then move the 9
         # gradient rows with one 64-byte row gather through a transposed
         # [M,16] view. The per-gaussian sum order changes (slot order vs
-        # whatever the network did), but both are deterministic.
+        # whatever the network did), but both are deterministic. DEFAULT ON
+        # since the r4 on-chip A/B (+0.24..0.29 Mpix/s in every pairing;
+        # winner combo 14.97 vs 14.68 without); EGS_GRAD_PERM=0 restores
+        # the 10-column payload sort.
         skey, pos = sort_pairs(key, jnp.arange(m, dtype=jnp.int32))
         rows16 = jnp.concatenate(
             [rows_ct, jnp.zeros((PACK_ROWS - GRAD_USED, m), rows_ct.dtype)]

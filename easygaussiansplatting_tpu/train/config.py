@@ -65,15 +65,17 @@ class TrainConfig:
     # size bucket; the reference instead reads the exact count back to the
     # host every step, gausplat.cu:67)
     adaptive_budget: bool = True
-    # Tighter headroom won the r3 on-chip budget A/B at the bench scene
-    # (688128 = 13.53 vs 786432 = 13.31 Mpix/s): every latency-bound
-    # binning / sort-reduce stage scales with the static budget, and the
-    # mid-epoch overflow reaction makes a tight rung safe to grow out of.
-    # NOTE the ladder below quantizes 1.25x of the 549k bench scene to the
-    # 786432 rung (the 688128 point is bench.py-only, off-ladder); the
-    # measured trainer-visible pair is 786432 (13.31) vs the old 1048576
-    # default — both probed in the r4 sweep (scripts/ab_bench.py).
-    budget_headroom: float = 1.25
+    # Tight headroom won the r4 on-chip budget A/B at the bench scene
+    # (573440 = 14.97, 589824 = 14.85, 655360/688128 = 13.6 Mpix/s at the
+    # winning kernel flags): every latency-bound binning / sort-reduce
+    # stage scales with the static budget, and the steep step below ~36
+    # quanta makes rung alignment worth ~5% end-to-end. The ladder
+    # (train/loop.py _round_budget) is ~1.125x-stepped above 8 quanta
+    # precisely so 1.05x of the 549k bench scene lands on the measured
+    # 589824 rung instead of the old {2^k,3*2^k} ladder's 786432; the
+    # mid-epoch overflow reaction + background prefetch make tight rungs
+    # safe and cheap to grow out of.
+    budget_headroom: float = 1.05
     budget_quantum: int = 16384  # ladder rung granularity (scan-kernel block)
 
     # pool

@@ -11,5 +11,9 @@ import os
 _FALSY = {"", "0", "false", "no", "off"}
 
 
-def env_flag(name: str) -> bool:
-    return os.environ.get(name, "").strip().lower() not in _FALSY
+def env_flag(name: str, default: bool = False) -> bool:
+    """`default` applies when the variable is UNSET; an explicit empty/falsy
+    value always means off (so default-on flags keep an off switch)."""
+    if name not in os.environ:
+        return default
+    return os.environ[name].strip().lower() not in _FALSY

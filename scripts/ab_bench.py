@@ -1,4 +1,4 @@
-"""Serialized kernel-variant A/B driver for the round-3 perf push.
+"""Serialized kernel-variant A/B driver for the per-round perf sweeps.
 
 Runs `python bench.py` once per env-flag variant, strictly serially (two
 concurrent TPU jobs through the tunnel make every measurement garbage —
@@ -16,77 +16,37 @@ import subprocess
 import sys
 import time
 
-# Ordered most-promising-first (the tunnel can die mid-sweep; partial
-# results should cover the best candidates). Rationale per BASELINE.md
-# "Segmented-grid occupancy" + the MXU pass model in kernels.py.
-# r3 on-chip results already landed (partial sweep before the tunnel died):
-#   base@786432 budget = 13.31; budget 688128 = 13.53 WINNER -> now the
-#   bench.py default; sub32 = 12.96 REJECTED (per-block fixed cost
-#   dominates the 88% occupancy win); fused = 13.26 wash (stays opt-in,
-#   fwd-only effect re-probed below); kchunk1024 = 13.50 neutral;
-#   logscan_both = 13.34 REJECTED (MXU log-space scans lose to the VPU
-#   sublane scans). The precision variants (EGS_TRI_PREC=mixed,
-#   EGS_DOT_PREC=high) are DEAD on this backend — Mosaic's dot lowering
-#   supports only DEFAULT/HIGHEST (mosaic/lowering.py:2244-2254); kernels.py
-#   pins both knobs to HIGHEST.
+# r4 RESULTS (all landed, BASELINE.md "Measured (round 4)"): the three-phase
+# sweep stacked sub64 (14.26) + tight budget (589824: +0.3) + log-scan bwd
+# (+0.17..0.29, SUB=64 only) + grad_perm (+0.24..0.29) to the winner
+# ls_gp_sub64_b573440 = 14.97 Mpix/s, now the tree's DEFAULTS (kernels.py
+# LOG_SCAN/SUB, rasterize.py GRAD_PERM, bench.py budget). Rejected and
+# DELETED: the forward log scan (13.80/13.91 in every combo). Rejected but
+# kept opt-in: fused preprocess (13.70, wash both ways), k_chunk 1024
+# (14.42 vs 14.56 at sub64), SUB=32 (12.96, r3). The radix counting-sort
+# variants ABORTED on-chip at bench scale (under bisection, radix_probe).
+#
+# The list below is the standing REGRESSION sweep relative to the landed
+# defaults: each row turns one winner OFF (guards against a future change
+# silently inverting a measured verdict) or probes a still-open variant.
 VARIANTS = [
-    # name, env overrides (on top of the current tree's defaults, which are
-    # the r3 winners: budget 688128, SUB=128, VPU scans, k_chunk 512)
+    # name, env overrides (on top of the tree's defaults = the r4 winners:
+    # budget 573440, SUB=64, log-scan bwd, grad_perm, k_chunk 512)
     ("base", {}),
-    ("sub64", {"EGS_SUB": "64"}),
-    ("logscan_bwd", {"EGS_LOG_SCAN": "1"}),
-    # tighter budget rungs: every latency-bound stage (tile sort,
-    # sort-reduce, scan chains) scales with the STATIC budget; nothing
-    # drops at >= the scene's true patch count (bench.py refuses to
-    # measure a truncating budget, so an over-tight rung errors out
-    # instead of lying).
-    ("budget655360", {"EGS_MAX_PATCHES": "655360"}),
-    ("budget589824", {"EGS_MAX_PATCHES": "589824"}),
-    # the pair the TRAINER ladder actually visits at 1.25x headroom on a
-    # 549k scene: 786432 (r3: 13.31) vs the old 1048576 default — measures
-    # what the config.py budget_headroom change was worth end-to-end.
-    ("budget1048576", {"EGS_MAX_PATCHES": "1048576"}),
-    ("grad_perm", {"EGS_GRAD_PERM": "1"}),
-    ("kchunk1024_sub64", {"EGS_KCHUNK": "1024", "EGS_SUB": "64"}),
+    ("no_logscan", {"EGS_LOG_SCAN": "0"}),
+    ("no_gradperm", {"EGS_GRAD_PERM": "0"}),
+    ("sub128", {"EGS_SUB": "128"}),
+    ("budget589824", {"EGS_MAX_PATCHES": "589824"}),  # trainer-ladder rung
+    ("budget688128", {"EGS_MAX_PATCHES": "688128"}),  # old r3 default
+    ("kchunk1024", {"EGS_KCHUNK": "1024"}),
     # fused preprocess re-probe: fwd+bwd was a wash, but the per-variant
     # fwd_throughput field decides whether it defaults on for
     # need_grads=False renders (viewer/eval path, VERDICT item 5).
     ("fused", {"EGS_FUSED_PRE": "1"}),
-    ("logscan_both_sub64", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
-                            "EGS_SUB": "64"}),
-    ("all", {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1", "EGS_SUB": "64",
-             "EGS_GRAD_PERM": "1"}),
-    # ---- phase 2: winner combos (run with --only after the main sweep;
-    # r4 mid-sweep standings: sub64 14.26, budget589824 13.94, base 13.63)
-    ("sub64_b589824", {"EGS_SUB": "64", "EGS_MAX_PATCHES": "589824"}),
-    ("sub64_b589824_k1024", {"EGS_SUB": "64", "EGS_MAX_PATCHES": "589824",
-                             "EGS_KCHUNK": "1024"}),
-    ("sub64_b573440", {"EGS_SUB": "64", "EGS_MAX_PATCHES": "573440"}),
-    ("logscan_sub64_b589824", {"EGS_LOG_SCAN": "1", "EGS_SUB": "64",
-                               "EGS_MAX_PATCHES": "589824"}),
-    # grad_perm stacked on the leaders (r4 main sweep: sub64 14.26,
-    # kchunk1024_sub64 14.08, budget589824 13.94, grad_perm 13.79)
-    ("sub64_gp_b589824", {"EGS_SUB": "64", "EGS_GRAD_PERM": "1",
-                          "EGS_MAX_PATCHES": "589824"}),
-    ("sub64_gp", {"EGS_SUB": "64", "EGS_GRAD_PERM": "1"}),
     # the Pallas counting sort (ops/pallas/radix.py) vs the XLA radix
-    # sort_key_val it replaces — alone and under the leading combo
+    # sort_key_val it replaces — aborted on-chip in r4, re-probe after fix
     ("radix", {"EGS_RADIX_SORT": "1"}),
-    ("radix_sub64_gp_b589824", {"EGS_RADIX_SORT": "1", "EGS_SUB": "64",
-                                "EGS_GRAD_PERM": "1",
-                                "EGS_MAX_PATCHES": "589824"}),
-    # counting-sort gradient reduction (3 LSD passes by gsid digits)
-    # instead of the full bitonic perm sort
-    ("radixred_sub64_b589824", {"EGS_RADIX_REDUCE": "1", "EGS_SUB": "64",
-                                "EGS_MAX_PATCHES": "589824"}),
-    # ---- phase 3: final landing probes (phase-2 leaders: logscan_sub64_
-    # b589824 14.73, sub64_gp_b589824 14.63, sub64_b573440 14.59)
-    ("ls_gp_sub64_b589824", {"EGS_LOG_SCAN": "1", "EGS_GRAD_PERM": "1",
-                             "EGS_SUB": "64", "EGS_MAX_PATCHES": "589824"}),
-    ("ls_sub64_b573440", {"EGS_LOG_SCAN": "1", "EGS_SUB": "64",
-                          "EGS_MAX_PATCHES": "573440"}),
-    ("ls_gp_sub64_b573440", {"EGS_LOG_SCAN": "1", "EGS_GRAD_PERM": "1",
-                             "EGS_SUB": "64", "EGS_MAX_PATCHES": "573440"}),
+    ("radixred", {"EGS_RADIX_REDUCE": "1"}),
 ]
 
 

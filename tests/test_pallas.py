@@ -194,15 +194,15 @@ def test_pallas_subchunked_kernels_match(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
-@pytest.mark.parametrize("mode", ["default", "perm", "radix"])
+@pytest.mark.parametrize("mode", ["full", "perm", "radix"])
 def test_sort_reduce_grads_matches_scatter(rng, mode, monkeypatch):
     """The TPU gradient-accumulation path (sort + segmented sum, all three
-    payload transports: full bitonic, perm-sort + row gather, counting-sort
-    + row gather) must equal the XLA scatter-add oracle."""
+    payload transports: perm-sort + row gather [the default], full bitonic,
+    counting-sort + row gather) must equal the XLA scatter-add oracle."""
     monkeypatch.delenv("EGS_GRAD_PERM", raising=False)
     monkeypatch.delenv("EGS_RADIX_REDUCE", raising=False)
-    if mode == "perm":
-        monkeypatch.setenv("EGS_GRAD_PERM", "1")
+    if mode == "full":
+        monkeypatch.setenv("EGS_GRAD_PERM", "0")  # 10-col payload sort
     elif mode == "radix":
         monkeypatch.setenv("EGS_RADIX_REDUCE", "1")
     from easygaussiansplatting_tpu.ops.pallas.rasterize import (
@@ -322,20 +322,21 @@ def test_pallas_parity_seed_fuzz(seed):
             err_msg=f"grad {name} seed {seed}")
 
 
-# NOTE: the EGS_TRI_PREC / EGS_DOT_PREC combos were removed in r3 — Mosaic
-# rejects non-HIGHEST dot precisions inside Pallas kernels, so kernels.py
-# pins both knobs (with a warning) and there is no variant left to test.
+# Variants are expressed RELATIVE to the r4-landed defaults (LOG_SCAN on,
+# SUB=64, GRAD_PERM on): the "0" rows guard the kept fallback paths, the
+# rest the opt-in/probe paths. (EGS_TRI_PREC / EGS_DOT_PREC were removed in
+# r3 — Mosaic rejects non-HIGHEST dot precisions inside Pallas kernels —
+# and the forward log-scan EGS_LOG_SCAN_FWD was deleted in r4 after losing
+# the on-chip A/B twice.)
 VARIANT_ENVS = [
     {"EGS_RADIX_SORT": "1"},
     {"EGS_RADIX_REDUCE": "1"},
-    {"EGS_LOG_SCAN": "1"},
-    {"EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1"},
+    {"EGS_LOG_SCAN": "0"},  # sequential sublane-scan backward (fallback)
     {"EGS_SUB": "32"},
-    {"EGS_SUB": "64"},
+    {"EGS_SUB": "128"},
     {"EGS_KCHUNK": "1024"},
     {"EGS_FUSED_PRE": "1"},
-    {"EGS_FUSED_PRE": "1", "EGS_LOG_SCAN": "1", "EGS_LOG_SCAN_FWD": "1",
-     "EGS_SUB": "64"},
+    {"EGS_FUSED_PRE": "1", "EGS_LOG_SCAN": "0", "EGS_SUB": "128"},
 ]
 
 _VARIANT_SCRIPT = r"""

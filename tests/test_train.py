@@ -200,21 +200,32 @@ def test_budget_ladder_and_predict():
     from easygaussiansplatting_tpu.train.config import TrainConfig
     from easygaussiansplatting_tpu.train.loop import PatchBudget, _round_budget
 
-    # geometric rungs: quantum * {2^k, 3*2^k}, all scan-quantum multiples
+    # geometric rungs: quantum * {1,2,3,4,6} then {8..15}*2^j (~1.125x
+    # steps above 8 quanta — the r4 budget A/B measured ~5% end-to-end
+    # between adjacent coarse rungs), all scan-quantum multiples
     rungs = [_round_budget(n) for n in (1, 16385, 40_000, 50_000, 375_000)]
     assert rungs == [16384, 32768, 49152, 65536, 393216]
     assert all(r % 16384 == 0 for r in rungs)
     assert _round_budget(2**18) == 2**18  # powers of two are rungs
+    # the fine region: 1.05x of the 549k-patch bench scene lands on the
+    # measured 589824 rung (36q), not the old coarse ladder's 786432
+    assert _round_budget(int(549_000 * 1.05)) == 589_824
+    # rung sequence is strictly increasing with bounded ratio
+    r = 16384
+    for _ in range(30):
+        nxt = _round_budget(r + 1)
+        assert r < nxt <= 2 * r and nxt % 16384 == 0
+        r = nxt
 
     cfg = TrainConfig(max_patches=2**18, adaptive_budget=True, budget_headroom=1.5)
     b = PatchBudget(cfg)
     # far from full: nothing to prefetch
     assert b.predict(100_000) is None
-    # approaching the budget: prefetch target is the next rung, and it is
-    # exactly what update() later lands on under steady growth
-    nxt = b.predict(200_000)
-    assert nxt == _round_budget(2**18 + 1)
+    # approaching the budget: the prefetch target for an observed count is
+    # exactly where update() lands for that same count (no skipped rungs)
     grown = int(0.95 * b.value)
+    nxt = b.predict(grown)
+    assert nxt == _round_budget(int(grown * 1.5))
     b.update(grown)
     assert b.value == nxt
 
@@ -286,8 +297,8 @@ def test_predict_tracks_update_landing_rung():
     predicted = b.predict(observed)
     b.update(observed)
     assert b.value == predicted  # update lands exactly on the prefetched rung
-    assert predicted == _round_budget(int(observed * 1.5))  # 12q, not 8q
-    assert predicted == 12 * q
+    assert predicted == _round_budget(int(observed * 1.5))  # 9q, not 8q
+    assert predicted == 9 * q
 
 
 def test_overflow_warning_and_midepoch_budget_growth():
