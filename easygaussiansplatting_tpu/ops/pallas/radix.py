@@ -86,21 +86,33 @@ def _concat_xla(arrs, digits_sorted, run_lo, run_len, out_start, chunk):
     return [jnp.zeros(m, a.dtype).at[dest].set(a) for a in arrs]
 
 
+def _rows_dma(r):
+    """Rows per run DMA: >= r+2 (a chunk-run shifted to an arbitrary lane
+    offset spans <= r+1 rows, +1 for the first-row patch), rounded UP to the
+    int32 sublane tile. The rounding is a HARD hardware constraint, found by
+    on-chip bisection (r4): a VMEM->HBM async copy whose sublane count is
+    not a multiple of 8 dies with `TPU backend error (Internal)` — or hangs
+    when copies overlap — while the same copy at 16 rows works at any
+    (unaligned, overlapping, dynamic) destination row offset."""
+    return (r + 2 + 7) & ~7
+
+
 def _concat_kernel(lo_ref, len_ref, os_ref, *refs, n_arrays, r):
     """One grid step = one (bucket, chunk) run, visited bucket-major.
 
     Assembles the run's elements 128-lane-aligned to its output position
-    and DMAs `r+2` rows at the (dynamic) output row. Writes overlap: each
-    program's garbage tail rows are overwritten by the next program, whose
-    first partial row is patched from the carry scratch (the previous
-    run's last true output row). The TPU grid is sequential and every
-    program waits on its own copy, so the overwrite order is the grid
+    and DMAs `_rows_dma(r)` rows at the (dynamic) output row. Writes
+    overlap: each program's garbage tail rows are overwritten by the next
+    program, whose first partial row is patched from the carry scratch (the
+    previous run's last true output row). The TPU grid is sequential and
+    every program waits on its own copy, so the overwrite order is the grid
     order by construction.
     """
+    rows = _rows_dma(r)
     ins = refs[:n_arrays]                       # [r,128] chunk blocks (VMEM)
     outs = refs[n_arrays:2 * n_arrays]          # full outputs (ANY/HBM)
-    apad = refs[2 * n_arrays:3 * n_arrays]      # [2r+3,128] shifted scratch
-    asm = refs[3 * n_arrays:4 * n_arrays]       # [r+2,128] assembled run
+    apad = refs[2 * n_arrays:3 * n_arrays]      # [r+rows+8,128] shifted scratch
+    asm = refs[3 * n_arrays:4 * n_arrays]       # [rows,128] assembled run
     carry = refs[4 * n_arrays:5 * n_arrays]     # [1,128] last true out row
     sems = refs[5 * n_arrays]                   # DMA sems, one per array
 
@@ -123,8 +135,8 @@ def _concat_kernel(lo_ref, len_ref, os_ref, *refs, n_arrays, r):
         s_e = r_lo - phi
         a_sh = s_e % LANES             # python-mod: in [0, 128)
         k = (s_e - a_sh) // LANES      # in [-1, r-1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (r + 2, LANES), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (r + 2, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
         t = (o_start + r_len - 1) // LANES - row0  # row holding o_end-1
         for a in range(n_arrays):
             # chunk_flat[q*128 + l + s_e] = rolled[q+k, l]   if l < 128-a_sh
@@ -133,9 +145,9 @@ def _concat_kernel(lo_ref, len_ref, os_ref, *refs, n_arrays, r):
             rolled = pltpu.roll(ins[a][:], (LANES - a_sh) % LANES, 1)
             apad[a][0:1, :] = jnp.zeros((1, LANES), jnp.int32)
             apad[a][1:r + 1, :] = rolled
-            apad[a][r + 1:, :] = jnp.zeros((r + 2, LANES), jnp.int32)
-            lo_rows = apad[a][pl.ds(k + 1, r + 2), :]   # rows q+k
-            hi_rows = apad[a][pl.ds(k + 2, r + 2), :]   # rows q+k+1
+            apad[a][r + 1:, :] = jnp.zeros((rows + 7, LANES), jnp.int32)
+            lo_rows = apad[a][pl.ds(k + 1, rows), :]   # rows q+k
+            hi_rows = apad[a][pl.ds(k + 2, rows), :]   # rows q+k+1
             piece = jnp.where(lane < LANES - a_sh, lo_rows, hi_rows)
             # first-row patch: lanes < phi hold the previous run's output.
             # Lanes/rows past o_end stay garbage on purpose — the next
@@ -143,17 +155,17 @@ def _concat_kernel(lo_ref, len_ref, os_ref, *refs, n_arrays, r):
             # them); only the carry row below must be exact.
             asm[a][:] = jnp.where(
                 (row == 0) & (lane < phi),
-                jnp.broadcast_to(carry[a][:], (r + 2, LANES)), piece,
+                jnp.broadcast_to(carry[a][:], (rows, LANES)), piece,
             )
             carry[a][:] = asm[a][pl.ds(t, 1), :]
         for a in range(n_arrays):
             dma = pltpu.make_async_copy(
-                asm[a], outs[a].at[pl.ds(row0, r + 2), :], sems.at[a]
+                asm[a], outs[a].at[pl.ds(row0, rows), :], sems.at[a]
             )
             dma.start()
         for a in range(n_arrays):
             pltpu.make_async_copy(
-                asm[a], outs[a].at[pl.ds(row0, r + 2), :], sems.at[a]
+                asm[a], outs[a].at[pl.ds(row0, rows), :], sems.at[a]
             ).wait()
 
 
@@ -163,6 +175,7 @@ def _concat_dma(arrs, run_lo, run_len, out_start, *, n_arrays, chunk,
     m = arrs[0].shape[0]
     n_chunks = m // chunk
     r = chunk // LANES
+    rows = _rows_dma(r)
     n_buckets = run_lo.shape[1]
     # grid order: bucket-major (the output order); flatten tables to match
     lo_f = run_lo.T.reshape(-1)
@@ -178,8 +191,8 @@ def _concat_dma(arrs, run_lo, run_len, out_start, *, n_arrays, chunk,
         in_specs=[chunk_spec] * n_arrays,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_arrays,
         scratch_shapes=(
-            [pltpu.VMEM((2 * r + 3, LANES), jnp.int32)] * n_arrays
-            + [pltpu.VMEM((r + 2, LANES), jnp.int32)] * n_arrays
+            [pltpu.VMEM((r + rows + 8, LANES), jnp.int32)] * n_arrays
+            + [pltpu.VMEM((rows, LANES), jnp.int32)] * n_arrays
             + [pltpu.VMEM((1, LANES), jnp.int32)] * n_arrays
             + [pltpu.SemaphoreType.DMA((n_arrays,))]
         ),
@@ -189,7 +202,7 @@ def _concat_dma(arrs, run_lo, run_len, out_start, *, n_arrays, chunk,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((m // LANES + r + 2, LANES), jnp.int32)
+            jax.ShapeDtypeStruct((m // LANES + rows, LANES), jnp.int32)
             for _ in range(n_arrays)
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
