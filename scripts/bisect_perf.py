@@ -24,7 +24,7 @@ from easygaussiansplatting_tpu.ops.binning import (
 from easygaussiansplatting_tpu.ops.pallas.scan import batched_cumsum
 
 W, H, N = 979, 546, 65536
-MAXP, MAXR, K = 786432, 262144, 128
+MAXP, MAXR, K = 573440, 262144, 512  # the r4-landed defaults
 
 
 def timeit(label, fn, *args, iters=10):

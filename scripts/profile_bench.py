@@ -37,8 +37,8 @@ def timeit(label, fn, *args, iters=5, trials=3):
     return out
 
 
-def main(width=979, height=546, n_gaussians=65536, max_patches=786432,
-         max_rows=262144, k_chunk=512):
+def main(width=979, height=546, n_gaussians=65536, max_patches=573440,
+         max_rows=262144, k_chunk=512):  # budget = the r4-landed default
     scene = make_synthetic_scene(seed=0, n_gaussians=n_gaussians, n_cams=1, width=width,
                                  height=height, log_scale_mean=-3.6)
     cam = scene["cameras"][0]
