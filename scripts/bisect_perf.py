@@ -27,8 +27,11 @@ W, H, N = 979, 546, 65536
 MAXP, MAXR, K = 573440, 262144, 512  # the r4-landed defaults
 
 
-def timeit(label, fn, *args, iters=10):
+def timeit(label, fn, *args, iters=10, timed=True):
     out = fn(*args)
+    if not timed:  # section filtered out: run once for its outputs only
+        jax.block_until_ready(out)
+        return out
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -41,6 +44,17 @@ def timeit(label, fn, *args, iters=10):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--section", choices=["all", "binning", "raster", "pre", "loss"],
+                    default="all",
+                    help="time only one pipeline section (each sub-program "
+                         "pays a full tunnel compile on a cold cache — "
+                         "filter to the rows under study)")
+    args = ap.parse_args()
+    sec = args.section
+
     scene = make_synthetic_scene(seed=0, n_gaussians=N, n_cams=1, width=W,
                                  height=H, log_scale_mean=-3.6)
     cam = scene["cameras"][0]
@@ -62,136 +76,154 @@ def main():
         keys = jax.lax.bitcast_convert_type(fkeys, jnp.int32)
         return jax.lax.sort_key_val(keys, jnp.arange(N, dtype=jnp.int32))
 
-    timeit("bin: depth sort (65k)", part_depth_sort, depths, valid)
+    if sec in ("all", "binning"):
+        timeit("bin: depth sort (65k)", part_depth_sort, depths, valid)
 
-    _, order = part_depth_sort(depths, valid)
-    rects, valid2 = jax.jit(lambda u, a, v: gaussian_rects(u, a, v, W, H))(us, areas, valid)
-    rects_s, valid_s = rects[order], valid2[order]
+        _, order = part_depth_sort(depths, valid)
+        rects, valid2 = jax.jit(lambda u, a, v: gaussian_rects(u, a, v, W, H))(us, areas, valid)
+        rects_s, valid_s = rects[order], valid2[order]
 
-    @jax.jit
-    def part_l1_scatters(rects_s, valid_s, order):
-        x0, y0, x1, y1 = rects_s[:, 0], rects_s[:, 1], rects_s[:, 2], rects_s[:, 3]
-        w = jnp.where(valid_s, x1 - x0, 0).astype(jnp.int32)
-        row_counts = jnp.where(valid_s, y1 - y0, 0).astype(jnp.int32)
-        rcum = jnp.cumsum(row_counts)
-        rstart = rcum - row_counts
-        return batched_cumsum([
-            _propagate_marks(rstart, (y0 - rstart) * gx + x0, MAXR),
-            _propagate_marks(rstart, w, MAXR),
-            _propagate_marks(rstart, order, MAXR),
-        ])
+        @jax.jit
+        def part_l1_scatters(rects_s, valid_s, order):
+            x0, y0, x1, y1 = rects_s[:, 0], rects_s[:, 1], rects_s[:, 2], rects_s[:, 3]
+            w = jnp.where(valid_s, x1 - x0, 0).astype(jnp.int32)
+            row_counts = jnp.where(valid_s, y1 - y0, 0).astype(jnp.int32)
+            rcum = jnp.cumsum(row_counts)
+            rstart = rcum - row_counts
+            return batched_cumsum([
+                _propagate_marks(rstart, (y0 - rstart) * gx + x0, MAXR),
+                _propagate_marks(rstart, w, MAXR),
+                _propagate_marks(rstart, order, MAXR),
+            ])
 
-    c1, row_w, row_ord = timeit("bin: L1 scatters+scan (65k->262k)", part_l1_scatters,
-                                rects_s, valid_s, order)
+        c1, row_w, row_ord = timeit("bin: L1 scatters+scan (65k->262k)", part_l1_scatters,
+                                    rects_s, valid_s, order)
 
-    @jax.jit
-    def part_l2_scatters(c1, row_w):
-        wcum = _scan1(row_w)
-        start2 = wcum - row_w
-        mr = jnp.arange(MAXR, dtype=jnp.int32)
-        base = c1 + mr * gx - start2
-        return batched_cumsum([
-            _propagate_marks(start2, base, MAXP),
-            _propagate_marks(start2, row_w * 0, MAXP),  # stand-in 2nd scatter
-        ])
+        @jax.jit
+        def part_l2_scatters(c1, row_w):
+            wcum = _scan1(row_w)
+            start2 = wcum - row_w
+            mr = jnp.arange(MAXR, dtype=jnp.int32)
+            base = c1 + mr * gx - start2
+            return batched_cumsum([
+                _propagate_marks(start2, base, MAXP),
+                _propagate_marks(start2, row_w * 0, MAXP),  # stand-in 2nd scatter
+            ])
 
-    timeit("bin: L2 scatters+scan (262k->786k)", part_l2_scatters, c1, row_w)
+        timeit("bin: L2 scatters+scan (262k->786k)", part_l2_scatters, c1, row_w)
 
-    @jax.jit
-    def part_patch_sort(c1):
-        m = jnp.arange(MAXP, dtype=jnp.int32)
-        fake_tile = (m * 2170 // MAXP).astype(jnp.int32)  # sorted-ish keys
-        mp_bits = (MAXP - 1).bit_length()
-        key = (fake_tile << mp_bits) | m
-        return jax.lax.sort_key_val(key, m)
+        @jax.jit
+        def part_patch_sort(c1):
+            m = jnp.arange(MAXP, dtype=jnp.int32)
+            fake_tile = (m * 2170 // MAXP).astype(jnp.int32)  # sorted-ish keys
+            mp_bits = (MAXP - 1).bit_length()
+            key = (fake_tile << mp_bits) | m
+            return jax.lax.sort_key_val(key, m)
 
-    timeit("bin: patch sort (786k int32)", part_patch_sort, c1)
+        timeit("bin: patch sort (786k int32)", part_patch_sort, c1)
 
+    tbin = sec in ("all", "binning")
     binf = jax.jit(lambda: bin_gaussians(us, depths, areas, valid, width=W,
                                          height=H, max_patches=MAXP, max_rows=MAXR))
-    binning = timeit("bin: TOTAL", binf)
+    binning = timeit("bin: TOTAL", binf, timed=tbin)
 
     meta = jax.jit(lambda b: segment_layout(b, k_chunk=K, n_tiles=gx * gy))(binning)
-    timeit("bin: segment_layout", lambda b: segment_layout(b, k_chunk=K, n_tiles=gx * gy), binning)
+    if tbin:
+        timeit("bin: segment_layout", lambda b: segment_layout(b, k_chunk=K, n_tiles=gx * gy), binning)
 
     # ---- raster fwd / bwd in isolation ----
-    from easygaussiansplatting_tpu.ops.pallas import rasterize as R
+    if sec in ("all", "raster"):
+        from easygaussiansplatting_tpu.ops.pallas import rasterize as R
 
-    gsid = binning["patch_gsid"]
-    gsafe, live = jnp.maximum(gsid, 0), gsid >= 0
-    table = jnp.concatenate([
-        us, aux["cinv2ds"], aux["alphas"][:, None], aux["colors"],
-        jnp.zeros((N, 7), jnp.float32)], axis=1)
-    n_tiles = gx * gy
-    dims = (n_tiles, gx, 16, K, False)
+        gsid = binning["patch_gsid"]
+        gsafe, live = jnp.maximum(gsid, 0), gsid >= 0
+        table = jnp.concatenate([
+            us, aux["cinv2ds"], aux["alphas"][:, None], aux["colors"],
+            jnp.zeros((N, 7), jnp.float32)], axis=1)
+        n_tiles = gx * gy
+        dims = (n_tiles, gx, 16, K, False)
 
-    fwd1 = jax.jit(lambda t: R._raster_table(dims, t, gsafe, live, meta))
-    image_t, tau_t, cont_t = timeit("raster fwd (pallas_call+pack)", fwd1, table)
+        fwd1 = jax.jit(lambda t: R._raster_table(dims, t, gsafe, live, meta))
+        image_t, tau_t, cont_t = timeit("raster fwd (pallas_call+pack)", fwd1, table)
 
-    packed = R._pack(table, gsafe, live)
+        packed = R._pack(table, gsafe, live)
 
-    fwdk = jax.jit(lambda p: R._fwd_call(p, meta, n_tiles=n_tiles, gx=gx, tile=16,
-                                         k=K, interpret=False))
-    timeit("raster fwd kernel only", fwdk, packed)
+        fwdk = jax.jit(lambda p: R._fwd_call(p, meta, n_tiles=n_tiles, gx=gx, tile=16,
+                                             k=K, interpret=False))
+        timeit("raster fwd kernel only", fwdk, packed)
 
-    g_tiles = jnp.ones_like(image_t)
+        g_tiles = jnp.ones_like(image_t)
 
-    bwdk = jax.jit(lambda p, g: R._bwd_call(p, meta, g, tau_t, cont_t,
-                                            n_tiles=n_tiles, gx=gx, tile=16,
-                                            k=K, interpret=False))
-    grads16 = timeit("raster bwd kernel only", bwdk, packed, g_tiles)
+        bwdk = jax.jit(lambda p, g: R._bwd_call(p, meta, g, tau_t, cont_t,
+                                                n_tiles=n_tiles, gx=gx, tile=16,
+                                                k=K, interpret=False))
+        grads16 = timeit("raster bwd kernel only", bwdk, packed, g_tiles)
 
-    @jax.jit
-    def part_scatter_add(grads16):
-        return jnp.zeros((16, N), jnp.float32).at[:, gsafe].add(
-            jnp.where(live[None, :], grads16, 0.0)).T
+        @jax.jit
+        def part_scatter_add(grads16):
+            return jnp.zeros((16, N), jnp.float32).at[:, gsafe].add(
+                jnp.where(live[None, :], grads16, 0.0)).T
 
-    timeit("bwd scatter-add (786k->65k)", part_scatter_add, grads16)
+        timeit("bwd scatter-add (786k->65k)", part_scatter_add, grads16)
 
-    @jax.jit
-    def vjp_full(t):
-        def f(t):
-            im, _, _ = R._raster_table(dims, t, gsafe, live, meta)
-            return jnp.sum(im)
-        return jax.grad(f)(t)
+        # the production patch->gaussian reduction (EGS_GRAD_PERM default):
+        # 2-col bitonic perm sort + 64-byte row gather + segmented scan
+        gsid_counts = jnp.zeros((N,), jnp.int32).at[gsafe].add(
+            live.astype(jnp.int32))
 
-    timeit("raster fwd+bwd via custom_vjp", vjp_full, table)
+        @jax.jit
+        def part_sort_reduce(grads16):
+            rows_ct = jnp.where(live[None, :], grads16[:R.GRAD_USED], 0.0)
+            return R._sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, N)
+
+        timeit("bwd grad-reduce (perm sort+segscan)", part_sort_reduce, grads16)
+
+        @jax.jit
+        def vjp_full(t):
+            def f(t):
+                im, _, _ = R._raster_table(dims, t, gsafe, live, meta)
+                return jnp.sum(im)
+            return jax.grad(f)(t)
+
+        timeit("raster fwd+bwd via custom_vjp", vjp_full, table)
 
     # ---- preprocess fwd+bwd ----
-    @jax.jit
-    def pre_grad(p):
-        def f(p):
-            a = stages.preprocess(p[0], p[1], p[2], p[3], p[4], cam)
-            return (jnp.sum(a["us"]) + jnp.sum(a["cinv2ds"]) + jnp.sum(a["colors"])
-                    + jnp.sum(a["alphas"]) + jnp.sum(a["depths"]))
-        return jax.grad(f)(p)
+    if sec in ("all", "pre"):
+        @jax.jit
+        def pre_grad(p):
+            def f(p):
+                a = stages.preprocess(p[0], p[1], p[2], p[3], p[4], cam)
+                return (jnp.sum(a["us"]) + jnp.sum(a["cinv2ds"]) + jnp.sum(a["colors"])
+                        + jnp.sum(a["alphas"]) + jnp.sum(a["depths"]))
+            return jax.grad(f)(p)
 
-    timeit("preprocess fwd",
-           jax.jit(lambda p: stages.preprocess(p[0], p[1], p[2], p[3], p[4], cam)),
-           params)
-    timeit("preprocess fwd+bwd", pre_grad, params)
+        timeit("preprocess fwd",
+               jax.jit(lambda p: stages.preprocess(p[0], p[1], p[2], p[3], p[4], cam)),
+               params)
+        timeit("preprocess fwd+bwd", pre_grad, params)
 
-    from easygaussiansplatting_tpu.ops.pallas.preprocess import fused_preprocess
+        from easygaussiansplatting_tpu.ops.pallas.preprocess import fused_preprocess
 
-    @jax.jit
-    def fpre_grad(p):
-        def f(p):
-            a = fused_preprocess(p[0], p[1], p[2], p[3], p[4], cam)
-            return (jnp.sum(a["table"]) + jnp.sum(a["alphas"])
-                    + jnp.sum(a["depths"]))
-        return jax.grad(f)(p)
+        @jax.jit
+        def fpre_grad(p):
+            def f(p):
+                a = fused_preprocess(p[0], p[1], p[2], p[3], p[4], cam)
+                return (jnp.sum(a["table"]) + jnp.sum(a["alphas"])
+                        + jnp.sum(a["depths"]))
+            return jax.grad(f)(p)
 
-    timeit("fused preprocess fwd",
-           jax.jit(lambda p: fused_preprocess(p[0], p[1], p[2], p[3], p[4], cam)),
-           params)
-    timeit("fused preprocess fwd+bwd", fpre_grad, params)
+        timeit("fused preprocess fwd",
+               jax.jit(lambda p: fused_preprocess(p[0], p[1], p[2], p[3], p[4], cam)),
+               params)
+        timeit("fused preprocess fwd+bwd", fpre_grad, params)
 
     # ---- loss ----
-    from easygaussiansplatting_tpu.ops.loss import gau_loss
+    if sec in ("all", "loss"):
+        from easygaussiansplatting_tpu.ops.loss import gau_loss
 
-    img = jnp.zeros((3, H, W), jnp.float32)
-    gt = jnp.zeros((3, H, W), jnp.float32)
-    timeit("loss fwd+bwd", jax.jit(jax.grad(lambda i: gau_loss(i, gt))), img)
+        img = jnp.zeros((3, H, W), jnp.float32)
+        gt = jnp.zeros((3, H, W), jnp.float32)
+        timeit("loss fwd+bwd", jax.jit(jax.grad(lambda i: gau_loss(i, gt))), img)
 
 
 if __name__ == "__main__":
