@@ -29,10 +29,12 @@ parameter-gradient chain (the reference's Jacobian matmuls,
 /root/reference/gsplat/gsmodel.py:71-85) fuses into one Mosaic program — and
 writes a [11+S, R, 128] cotangent stack (pws, shs, alpha, scales, rots).
 
-Opt-in via EGS_FUSED_PRE=1 pending the on-chip A/B + parity gate
-(scripts/ab_bench.py "fused*" variants); ops/stages.py stays the default and
-the GSPMD-sharded parallel layer keeps using it (a Mosaic call cannot be
-auto-partitioned — parallel/train.py would need its own shard_map wrapper).
+DEFAULT ON for TPU since the r4 on-chip A/B at the landed defaults (15.19
+vs 14.99 Mpix/s fwd+bwd, 31.0 vs 30.5 fwd-only; EGS_FUSED_PRE=0 restores
+the stages chain, which stays the CPU/interpret default — see
+ops/rasterize.py render). The GSPMD-sharded parallel layer runs it through
+its own shard_map wrapper (a Mosaic call cannot be auto-partitioned;
+parallel/train.py fused_batched_preprocess).
 
 Limitation: camera-parameter gradients are NOT propagated (the custom_vjp
 returns zeros for the camera vector) — unlike the stages path, where plain

@@ -106,9 +106,15 @@ def render(
     from easygaussiansplatting_tpu.utils.envflag import env_flag
 
     table = None
-    if env_flag("EGS_FUSED_PRE") and resolve_backend(backend) == "pallas":
-        # fused Pallas preprocess (stages 1-5 + table build in one kernel);
-        # opt-in pending the on-chip A/B — see ops/pallas/preprocess.py.
+    # Fused Pallas preprocess (stages 1-5 + table build in one kernel):
+    # DEFAULT ON for TPU since the r4 on-chip A/B at the landed defaults
+    # (15.19 vs 14.99 Mpix/s fwd+bwd, 31.0 vs 30.5 fwd-only — same-session
+    # pair; at the old SUB=128 config it was a wash, BASELINE.md). CPU /
+    # interpret runs default to the stages chain (the parity baseline);
+    # EGS_FUSED_PRE=0/1 overrides either way.
+    fused_default = jax.default_backend() == "tpu"
+    if (env_flag("EGS_FUSED_PRE", default=fused_default)
+            and resolve_backend(backend) == "pallas"):
         # Limitation vs the stages path: camera-parameter gradients are not
         # propagated (the fused vjp returns zeros for the camera vector);
         # cameras are not trained anywhere in this framework.

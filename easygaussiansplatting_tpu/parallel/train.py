@@ -151,7 +151,9 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
     from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
     from easygaussiansplatting_tpu.utils.envflag import env_flag
 
-    use_fused = (env_flag("EGS_FUSED_PRE")
+    # same default rule as ops/rasterize.py render: fused preprocess is the
+    # TPU production config (r4 A/B winner); CPU keeps the stages baseline
+    use_fused = (env_flag("EGS_FUSED_PRE", default=jax.default_backend() == "tpu")
                  and resolve_backend(config.backend) == "pallas")
 
     @jax.jit

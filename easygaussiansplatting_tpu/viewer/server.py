@@ -100,6 +100,7 @@ class SceneRenderer:
             np.linalg.norm(pws[self.slices["scene"]] - np.float32(self.center), axis=1), 90
         ))
         self._jit_cache = {}
+        self._dev_cache = {}  # appearance key -> device-resident params
 
     @staticmethod
     def _pad_sh(block, sh_width):
@@ -160,6 +161,31 @@ class SceneRenderer:
         ])
         cam = look_at_camera(pos, center, width, height, fov_f * width, cam_id=0)
 
+        with self.lock:  # one chip: uploads and renders are serialized
+            dev = self._device_params(markers=markers, cloud=cloud,
+                                      cloud_mode=cloud_mode, mode=mode)
+            fn = self._render_fn(width, height)
+            img = fn(*dev, cam)
+            img = np.asarray(jax.block_until_ready(img))
+        out = (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
+        if axes or grid:
+            out = self._draw_overlays(out, cam, axes=axes, grid=grid)
+        return out
+
+    def _device_params(self, *, markers, cloud, cloud_mode, mode):
+        """Device-resident (pws, shs, alphas, scales, rots) per appearance.
+
+        The per-frame mutations (overlay alpha toggles, cloud color modes,
+        ball/inverse render modes) depend only on these toggles — NOT on the
+        camera — so each combination is built once and kept on the chip.
+        Re-uploading the raw numpy params every frame cost ~16 MB of
+        host->device tunnel traffic per frame (~0.5 s/frame measured,
+        scripts/viewer_fps.py); a cache hit costs nothing."""
+        key = (bool(markers), bool(cloud), cloud_mode, mode)
+        if key in self._dev_cache:
+            return self._dev_cache[key]
+        import jax
+
         a = {k: v.copy() for k, v in self.full.items()}
         if not markers and "markers" in self.slices:
             a["alphas"][self.slices["markers"]] = 0.0
@@ -193,14 +219,10 @@ class SceneRenderer:
             s = self.slices["scene"]
             a["shs"][s] = -a["shs"][s]
 
-        with self.lock:
-            fn = self._render_fn(width, height)
-            img = fn(a["pws"], a["shs"], a["alphas"], a["scales"], a["rots"], cam)
-            img = np.asarray(jax.block_until_ready(img))
-        out = (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
-        if axes or grid:
-            out = self._draw_overlays(out, cam, axes=axes, grid=grid)
-        return out
+        dev = tuple(jax.device_put(a[k])
+                    for k in ("pws", "shs", "alphas", "scales", "rots"))
+        self._dev_cache[key] = dev
+        return dev
 
     def _draw_overlays(self, img_u8, cam, *, axes=False, grid=False):
         """World-space axis / ground-grid line overlays, projected with the

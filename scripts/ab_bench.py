@@ -39,10 +39,9 @@ VARIANTS = [
     ("budget589824", {"EGS_MAX_PATCHES": "589824"}),  # trainer-ladder rung
     ("budget688128", {"EGS_MAX_PATCHES": "688128"}),  # old r3 default
     ("kchunk1024", {"EGS_KCHUNK": "1024"}),
-    # fused preprocess re-probe: fwd+bwd was a wash, but the per-variant
-    # fwd_throughput field decides whether it defaults on for
-    # need_grads=False renders (viewer/eval path, VERDICT item 5).
-    ("fused", {"EGS_FUSED_PRE": "1"}),
+    # fused preprocess is DEFAULT ON for TPU since the r4 A/B (15.19 vs
+    # 14.99); this variant measures its removal (the stages chain)
+    ("nofused", {"EGS_FUSED_PRE": "0"}),
     # the Pallas counting sort (ops/pallas/radix.py) vs the XLA radix
     # sort_key_val it replaces — aborted on-chip in r4, re-probe after fix
     ("radix", {"EGS_RADIX_SORT": "1"}),

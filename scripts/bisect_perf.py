@@ -36,8 +36,11 @@ def timeit(label, fn, *args, iters=10, timed=True):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    # a value read: the tunneled backend's block_until_ready can return early
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    # a value read: the tunneled backend's block_until_ready can return early.
+    # Index ON DEVICE and transfer 4 bytes — np.asarray of the full leaf
+    # ships it over the tunnel (36 MB for the bwd-kernel row = ~200 ms of
+    # pure transfer inside the timing window)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0])
     dt = (time.perf_counter() - t0) / iters
     print(f"{label:42s} {dt*1e3:9.3f} ms", flush=True)
     return out
