@@ -40,6 +40,7 @@ from easygaussiansplatting_tpu.data.synthetic import look_at_camera
 
 _SH_C0 = 0.28209479177387814
 MODES = ("normal", "ball", "inverse")
+CLOUD_MODES = ("rgb", "flat", "intensity", "rainbow")
 
 
 def _as_f32(a, shape2=None):
@@ -180,9 +181,26 @@ class SceneRenderer:
         camera — so each combination is built once and kept on the chip.
         Re-uploading the raw numpy params every frame cost ~16 MB of
         host->device tunnel traffic per frame (~0.5 s/frame measured,
-        scripts/viewer_fps.py); a cache hit costs nothing."""
-        key = (bool(markers), bool(cloud), cloud_mode, mode)
+        scripts/viewer_fps.py); a cache hit costs nothing.
+
+        Keys are normalized so toggles that cannot change the params never
+        mint a new entry (markers/cloud without the matching block,
+        cloud_mode with cloud off), and the cache is LRU-bounded: raw HTTP
+        query values must not grow HBM for the server's lifetime. Invalid
+        mode / cloud_mode strings are rejected upstream (HTTP 400)."""
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        if cloud_mode not in CLOUD_MODES:
+            raise ValueError(
+                f"cloud_mode must be one of {CLOUD_MODES}, got {cloud_mode!r}"
+            )
+        markers = bool(markers) and "markers" in self.slices
+        cloud = bool(cloud) and "cloud" in self.slices
+        if not cloud:
+            cloud_mode = "rgb"
+        key = (markers, cloud, cloud_mode, mode)
         if key in self._dev_cache:
+            self._dev_cache[key] = self._dev_cache.pop(key)  # LRU touch
             return self._dev_cache[key]
         import jax
 
@@ -222,7 +240,13 @@ class SceneRenderer:
         dev = tuple(jax.device_put(a[k])
                     for k in ("pws", "shs", "alphas", "scales", "rots"))
         self._dev_cache[key] = dev
+        while len(self._dev_cache) > self.DEV_CACHE_MAX:
+            stale = next(iter(self._dev_cache))
+            del self._dev_cache[stale]
         return dev
+
+    # bound on device-resident param sets (~16 MB each at bench scale)
+    DEV_CACHE_MAX = 8
 
     def _draw_overlays(self, img_u8, cam, *, axes=False, grid=False):
         """World-space axis / ground-grid line overlays, projected with the
@@ -307,6 +331,10 @@ def make_handler(renderer):
                     self._send(200, json.dumps(renderer.info()).encode(),
                                "application/json")
                 elif url.path == "/render":
+                    if q.get("mode", "normal") not in MODES or \
+                            q.get("cloud_mode", "rgb") not in CLOUD_MODES:
+                        self._send(400, b"bad mode/cloud_mode", "text/plain")
+                        return
                     img = renderer.render(
                         azimuth=float(q.get("az", 0.0)),
                         elevation=float(q.get("el", 0.3)),

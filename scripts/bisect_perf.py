@@ -33,6 +33,9 @@ def timeit(label, fn, *args, iters=10, timed=True):
         jax.block_until_ready(out)
         return out
     jax.block_until_ready(out)
+    # warm the scalar-read program too — its one-time dispatch/compile over
+    # the tunnel must not be charged to the timed window
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -125,14 +128,17 @@ def main():
 
         timeit("bin: patch sort (786k int32)", part_patch_sort, c1)
 
+    # binning/meta feed the raster rows; --section pre/loss never use them —
+    # skip both (each is a full cold tunnel compile the flag exists to avoid)
     tbin = sec in ("all", "binning")
-    binf = jax.jit(lambda: bin_gaussians(us, depths, areas, valid, width=W,
-                                         height=H, max_patches=MAXP, max_rows=MAXR))
-    binning = timeit("bin: TOTAL", binf, timed=tbin)
+    if sec in ("all", "binning", "raster"):
+        binf = jax.jit(lambda: bin_gaussians(us, depths, areas, valid, width=W,
+                                             height=H, max_patches=MAXP, max_rows=MAXR))
+        binning = timeit("bin: TOTAL", binf, timed=tbin)
 
-    meta = jax.jit(lambda b: segment_layout(b, k_chunk=K, n_tiles=gx * gy))(binning)
-    if tbin:
-        timeit("bin: segment_layout", lambda b: segment_layout(b, k_chunk=K, n_tiles=gx * gy), binning)
+        meta = jax.jit(lambda b: segment_layout(b, k_chunk=K, n_tiles=gx * gy))(binning)
+        if tbin:
+            timeit("bin: segment_layout", lambda b: segment_layout(b, k_chunk=K, n_tiles=gx * gy), binning)
 
     # ---- raster fwd / bwd in isolation ----
     if sec in ("all", "raster"):

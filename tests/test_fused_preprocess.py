@@ -107,7 +107,9 @@ def test_render_fused_flag_parity(rng, monkeypatch):
         grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
         return img, grads
 
-    monkeypatch.delenv("EGS_FUSED_PRE", raising=False)
+    # explicit 0, not delenv: unset defaults to ON when the backend is TPU,
+    # which would make this fused-vs-fused (vacuous) under EGS_TEST_TPU=1
+    monkeypatch.setenv("EGS_FUSED_PRE", "0")
     img0, g0 = run()
     monkeypatch.setenv("EGS_FUSED_PRE", "1")
     img1, g1 = run()
@@ -131,7 +133,7 @@ def test_render_fused_us_offset_grad(rng, monkeypatch):
         im, _ = render(*args, cam, us_offset=o, **PALLAS)
         return jnp.sum(im * wimg)
 
-    monkeypatch.delenv("EGS_FUSED_PRE", raising=False)
+    monkeypatch.setenv("EGS_FUSED_PRE", "0")  # see test_render_fused_flag_parity
     g0 = jax.grad(loss)(off)
     monkeypatch.setenv("EGS_FUSED_PRE", "1")
     g1 = jax.grad(loss)(off)

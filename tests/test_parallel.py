@@ -280,7 +280,8 @@ def test_sharded_fused_preprocess_matches_stages(monkeypatch):
     mesh = make_mesh(8)  # (2, 4)
     scene, pool, bcam, gt = _setup(b=2, cap_round=8)
 
-    monkeypatch.delenv("EGS_FUSED_PRE", raising=False)
+    # explicit 0, not delenv: unset defaults to ON on a TPU backend
+    monkeypatch.setenv("EGS_FUSED_PRE", "0")
     pool_0, stats_0, losses_0 = _run(mesh, pool, bcam, gt, scene["scene_size"])
     monkeypatch.setenv("EGS_FUSED_PRE", "1")
     pool_f, stats_f, losses_f = _run(mesh, pool, bcam, gt, scene["scene_size"])
