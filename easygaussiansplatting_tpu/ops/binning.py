@@ -242,12 +242,32 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     tile_id = jnp.where(in_range, prop_base + m, n_tiles).astype(jnp.int32)
     gsid = jnp.where(in_range, prop_ord, -1)
 
+    # Per-tile ranges from the ROW intervals, not from the sorted keys: a
+    # searchsorted of 2k tile boundaries over the 573k sorted keys costs ~20
+    # sequential gather rounds (~1.4 ms measured, scripts/bisect_perf.py
+    # --section binning2); the same counts are one fused compare-reduce over
+    # [T+1, max_rows] (~0.5 G lane ops) that XLA can also schedule in
+    # parallel with the sort instead of serially after it. Row r's patches
+    # occupy slots [start2_r, start2_r + w_r) covering tiles
+    # [tlo_r, tlo_r + w_r); the budget keeps slots < kept, so the row's
+    # kept width is min(w, kept - start2) clamped at 0 — summing interval
+    # indicators reproduces the sorted array's tile ranges exactly,
+    # including the drop-deepest truncation.
+    tlo = row_ty * gx + rx0
+    wk = jnp.maximum(jnp.minimum(row_w, kept - start2), 0)
+    t_iota = jnp.arange(n_tiles, dtype=jnp.int32)
+    covered = (t_iota[:, None] >= tlo[None, :]) & (
+        t_iota[:, None] < (tlo + wk)[None, :]
+    )
+    tile_cnt = jnp.sum(covered, axis=1, dtype=jnp.int32)
+    tcum = jnp.cumsum(tile_cnt)
+    tile_start = tcum - tile_cnt
+
     # Sort by tile id keeping depth order within each tile: the (tile, slot)
     # pair packs into one int32 key when the bit budget allows (unique keys
     # -> stability for free, and a single-key sort_key_val radix sort), else
     # fall back to a stable two-operand sort.
     mp_bits = max(1, (max_patches - 1).bit_length())
-    tids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     on_tpu = jax.default_backend() == "tpu" and us.dtype != jnp.float64
     if env_flag("EGS_RADIX_SORT"):
         # Pallas two-pass counting sort (ops/pallas/radix.py): the patch
@@ -264,14 +284,10 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         tile_sorted, gsid_sorted = counting_sort_by_tile(
             tile_id, gsid, n_tiles=n_tiles
         )
-        bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
     elif (n_tiles + 1) << mp_bits <= 2**31:
         key = (tile_id << mp_bits) | m
         key_sorted, gsid_sorted = jax.lax.sort_key_val(key, gsid)
         tile_sorted = key_sorted >> mp_bits
-        # per-tile ranges by binary search over the sorted keys (a 1M-index
-        # counting scatter costs ~8 ms; 2k binary searches are free)
-        bounds = jnp.searchsorted(key_sorted, tids << mp_bits, side="left").astype(jnp.int32)
     elif (n_tiles + 1) << mp_bits <= 2**32:
         # one more bit of headroom through uint32: flipping the sign bit
         # maps unsigned order onto int32 order, so the composite key still
@@ -284,10 +300,6 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         key_sorted, gsid_sorted = jax.lax.sort_key_val(key, gsid)
         ks_u = jax.lax.bitcast_convert_type(key_sorted, jnp.uint32) ^ sign
         tile_sorted = (ks_u >> mp_bits).astype(jnp.int32)
-        tkeys = jax.lax.bitcast_convert_type(
-            (tids.astype(jnp.uint32) << mp_bits) ^ sign, jnp.int32
-        )
-        bounds = jnp.searchsorted(key_sorted, tkeys, side="left").astype(jnp.int32)
     elif on_tpu and env_flag("EGS_LEX_SORT"):
         # composite key overflows int32 (>2047 tiles at a 2^20 patch
         # budget — e.g. the 979x546 eval resolution): lexicographic
@@ -300,15 +312,10 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
 
         tile_sorted, _, gsid_sorted = sort_pairs(tile_id, m, gsid, n_keys=2)
-        bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
     else:
         tile_sorted, gsid_sorted = jax.lax.sort(
             (tile_id, gsid), dimension=0, is_stable=True, num_keys=1
         )
-        bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
-
-    tile_start = bounds[:n_tiles]
-    tile_cnt = bounds[1:] - bounds[:-1]
 
     out = {
         "patch_gsid": gsid_sorted,

@@ -218,14 +218,41 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
     return step
 
 
-def make_sharded_render(mesh, config):
+def make_sharded_render(mesh, config, *, tile_sharded=None, with_aux=False):
     """Jitted whole-image render of a (sharded) pool for eval/inference.
 
-    Single camera: stages 1-5 run gs-sharded; the raster stage runs inside a
-    fully-replicated shard_map for the Pallas backend (every device renders
-    the same image — eval is off the hot path, simplicity wins)."""
+    Stages 1-5 run gs-sharded under GSPMD. Stage 6 (binning + rasteriser):
+
+    * ``tile_sharded=True`` (the default on multi-device meshes with the
+      Pallas backend) splits the image into contiguous tile-row bands, one
+      per device of the flattened (data, gs) mesh. Each device receives the
+      full per-Gaussian attribute arrays (the all-gather the shard_map
+      boundary inserts — SURVEY.md §2.9 "image tiles sharded for stage 6,
+      all_gather of visible Gaussians to tile owners") and bins + rasterises
+      only its band, so single-image eval/viewer latency scales with the
+      mesh instead of every device replicating the full frame.
+    * ``tile_sharded=False`` keeps the fully-replicated raster — the parity
+      baseline (and the only choice for a 1-device mesh or non-Pallas
+      backends, where plain GSPMD already partitions the tiled rasteriser).
+
+    Bands don't split patches evenly, so each device gets a patch budget of
+    ~2.5x the even share (``config.max_patches / n_devices``, rounded up to
+    the chunk size). ``with_aux=True`` additionally returns
+    ``{"n_dropped": total}`` (psum over devices) so callers can verify the
+    band budgets didn't truncate; healthy scenes report 0.
+    """
 
     k_chunk, n_chunks = config.raster_chunks()
+    ndev = int(mesh.devices.size)
+    axes = tuple(mesh.axis_names)
+    if tile_sharded is None:
+        tile_sharded = ndev > 1
+
+    from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
+
+    use_bands = (
+        tile_sharded and ndev > 1 and resolve_backend(config.backend) == "pallas"
+    )
 
     @jax.jit
     def render_fn(pool, cam):
@@ -234,27 +261,72 @@ def make_sharded_render(mesh, config):
             pws, shs, alphas, scales, rots, cam, alive=alive,
             sh_degree=config.sh_degree,
         )
+        args = (
+            aux["us"], aux["cinv2ds"], aux["alphas"], aux["colors"],
+            aux["depths"], aux["areas"], aux["valid"],
+        )
+
+        if use_bands:
+            tile = config.tile
+            gy = -(-cam.height // tile)
+            sub_h = -(-gy // ndev) * tile  # band height (whole tile rows)
+            # per-band budgets: 2.5x the even share, chunk-aligned (the
+            # rasteriser requires max_patches % k_chunk == 0 after k_chunk
+            # rounds up to a power of two >= 128)
+            keff = max(128, 1 << (int(k_chunk) - 1).bit_length())
+            share = -(-config.max_patches * 5 // (2 * ndev))
+            mp = max(keff, -(-share // keff) * keff)
+            mrows = (None if config.max_rows is None
+                     else max(1, -(-config.max_rows * 5 // (2 * ndev))))
+
+            def band(us, cinv2ds, al, colors, depths, areas, valid):
+                # flattened device index, data-major (must match the
+                # out_specs P(axes) layout of the stacked bands)
+                d = jax.lax.axis_index(axes[0])
+                for ax in axes[1:]:
+                    d = d * mesh.shape[ax] + jax.lax.axis_index(ax)
+                y_off = (d * sub_h).astype(us.dtype)
+                us_b = us - jnp.stack([jnp.zeros_like(y_off), y_off])
+                image, raux = raster_from_aux(
+                    us_b, cinv2ds, al, colors, depths, areas, valid,
+                    width=cam.width, height=sub_h, backend=config.backend,
+                    tile=tile, max_patches=mp, max_rows=mrows,
+                    k_chunk=k_chunk, n_chunks=n_chunks, need_grads=False,
+                )
+                b = raux["binning"]
+                dropped = jax.lax.psum(
+                    b.get("n_dropped", 0) + b.get("rows_dropped", 0), axes
+                )
+                return image[None], dropped
+
+            band = jax.shard_map(
+                band, mesh=mesh, in_specs=(P(),) * 7,
+                out_specs=(P(axes), P()), check_vma=False,
+            )
+            parts, dropped = band(*args)  # [ndev, 3, sub_h, W]
+            img = jnp.transpose(parts, (1, 0, 2, 3)).reshape(
+                3, ndev * sub_h, cam.width
+            )[:, :cam.height]
+            return (img, {"n_dropped": dropped}) if with_aux else img
 
         def one(us, cinv2ds, al, colors, depths, areas, valid):
-            image, _ = raster_from_aux(
+            image, raux = raster_from_aux(
                 us, cinv2ds, al, colors, depths, areas, valid,
                 width=cam.width, height=cam.height, backend=config.backend,
                 tile=config.tile, max_patches=config.max_patches,
                 max_rows=config.max_rows, k_chunk=k_chunk,
-                n_chunks=n_chunks,
+                n_chunks=n_chunks, need_grads=False,
             )
-            return image
-
-        from easygaussiansplatting_tpu.ops.rasterize import resolve_backend
+            b = raux.get("binning", {})
+            dropped = b.get("n_dropped", 0) + b.get("rows_dropped", 0)
+            return image, jnp.asarray(dropped, jnp.int32)
 
         if resolve_backend(config.backend) == "pallas":
             one = jax.shard_map(
-                one, mesh=mesh, in_specs=(P(),) * 7, out_specs=P(),
+                one, mesh=mesh, in_specs=(P(),) * 7, out_specs=(P(), P()),
                 check_vma=False,
             )
-        return one(
-            aux["us"], aux["cinv2ds"], aux["alphas"], aux["colors"],
-            aux["depths"], aux["areas"], aux["valid"],
-        )
+        img, dropped = one(*args)
+        return (img, {"n_dropped": dropped}) if with_aux else img
 
     return render_fn

@@ -244,6 +244,11 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
     if stats is None:
         stats = density_stats_init(pool.capacity)
     gt_images = [jnp.asarray(g, jnp.float32) for g in gt_images]
+    # device-resident cameras: a Camera pytree passed as a host structure
+    # re-transfers its ~10 scalars every step — each a round-trip over a
+    # tunneled backend. One device_put up front makes the step's camera args
+    # zero-copy.
+    cameras = [jax.device_put(c) for c in cameras]
 
     history = {"loss": [], "psnr": [], "n_alive": [], "epoch_time": [],
                "overflow_steps": []}
@@ -254,7 +259,20 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
         losses = []
         patch_peak = []
         drops = []
-        for j, i in enumerate(order):
+        # host-vs-device attribution (VERDICT r4 #6): one fully-synced step
+        # gives the device-side step time; the enqueue loop's wall minus
+        # n * t_device is host-added overhead (dispatch, arg handling,
+        # mid-epoch sync reads)
+        t_dev0 = time.time()
+        pool, adam_state, stats, loss0, binfo0 = train_step(
+            pool, adam_state, stats, cameras[order[0]], gt_images[order[0]]
+        )
+        jax.block_until_ready(loss0)
+        t_step_device = time.time() - t_dev0
+        losses.append(loss0)
+        patch_peak.append(binfo0["obs"])
+        drops.append(binfo0["dropped"])
+        for j, i in enumerate(order[1:]):
             pool, adam_state, stats, loss, binfo = train_step(
                 pool, adam_state, stats, cameras[i], gt_images[i]
             )
@@ -266,7 +284,9 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
             # for a whole epoch (the reference reads the exact patch count
             # every step, gausplat.cu:67). The host read every 16 steps only
             # waits on already-finished device work.
-            if config.adaptive_budget and (j + 1) % 16 == 0:
+            # j counts from the SECOND step (the first ran synced above):
+            # global step index = j + 2
+            if config.adaptive_budget and (j + 2) % 16 == 0:
                 recent = int(jnp.max(jnp.stack(drops[-16:])))
                 if recent > 0:
                     if not overflow_warned:
@@ -282,7 +302,13 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
                             f"{budget.value} (mid-epoch overflow)"
                         )
                         train_step = steps.get(budget.value)
+        # drain: everything still in flight on the device finishes here —
+        # the steps phase [t0, t_drain] splits into n * t_step_device of
+        # device work plus host-added overhead
         avg_loss = float(jnp.mean(jnp.stack(losses)))
+        t_drain = time.time()
+        history.setdefault("t_steps_wall", []).append(t_drain - t0)
+        history.setdefault("t_step_device", []).append(t_step_device)
         history["loss"].append(avg_loss)
         history["epoch_time"].append(time.time() - t0)
         history["overflow_steps"].append(
@@ -302,6 +328,7 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
             )
 
         e = epoch + 1
+        t_dfy = time.time()
         if e % config.densify_every_epochs == 0 and e <= config.densify_until_epoch and e > 1:
             key, sub = jax.random.split(key)
             pool, adam_state, stats, report = densify_and_prune(
@@ -312,6 +339,7 @@ def train(pool, cameras, gt_images, config: TrainConfig, scene_size, seed=0,
                 f"cloned={int(report['n_cloned'])} split={int(report['n_split'])} "
                 f"dropped={int(report['n_dropped'])} alive={int(report['n_alive'])}"
             )
+        history.setdefault("t_densify", []).append(time.time() - t_dfy)
         if e % config.reset_alpha_every_epochs == 0 and e < config.epochs:
             # never end training on a reset: the final model would carry the
             # clamped opacities (the reference resets unconditionally,

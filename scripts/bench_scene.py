@@ -173,8 +173,16 @@ def main():
             state["t0"] = time.time()  # first epoch done: compile excluded below
         if state["t_hit"] is not None and not args.full:
             return
+        t_ev = time.time()
         p = eval_psnr(pool, config)
+        t_ev = time.time() - t_ev
         state["psnr"] = p
+        # host-vs-device attribution (VERDICT r4 #6): the loop records one
+        # synced step (device time) and the whole steps phase per epoch; the
+        # difference is host-added (dispatch, arg handling, sync reads)
+        tdev = history["t_step_device"][-1] if history else None
+        twall = history["t_steps_wall"][-1] if history else None
+        tdfy = history["t_densify"][-1] if history else None
         row = {
             "epoch": epoch,
             "wall_s": round(time.time() - t_start, 1),
@@ -182,10 +190,17 @@ def main():
             "alive": int(pool.n_alive()),
             "budget": history["budget"][-1] if history else None,
             "overflow_steps": history["overflow_steps"][-1] if history else None,
+            "t_steps_wall": round(twall, 2) if twall is not None else None,
+            "t_device_est": (round(tdev * n_cams, 2)
+                             if tdev is not None else None),
+            "t_densify": round(tdfy, 2) if tdfy is not None else None,
+            "t_eval": round(t_ev, 2),
         }
         state["curve"].append(row)
         print(f"  [epoch {epoch}] eval psnr {p:.2f} alive {row['alive']} "
-              f"budget {row['budget']}", flush=True)
+              f"budget {row['budget']} steps {row['t_steps_wall']}s "
+              f"(dev~{row['t_device_est']}s) densify {row['t_densify']}s "
+              f"eval {row['t_eval']}s", flush=True)
         if p >= args.target_psnr and state["t_hit"] is None:
             state["t_hit"] = time.time()
             state["epoch_hit"] = epoch
@@ -219,6 +234,22 @@ def main():
             "vs_baseline": 0.0,
         }))
     else:
+        # attribution totals over the recorded epochs (VERDICT r4 #6): how
+        # much of the wall was device step time vs host-added overhead
+        rows = [r for r in state["curve"] if r.get("t_steps_wall")]
+        # epoch 1's synced step carries the compile — exclude it from totals
+        rows = rows[1:] if len(rows) > 1 else rows
+        att = {}
+        if rows:
+            att = {
+                "steps_wall_s": round(sum(r["t_steps_wall"] for r in rows), 1),
+                "device_est_s": round(sum(r["t_device_est"] or 0 for r in rows), 1),
+                "densify_s": round(sum(r["t_densify"] or 0 for r in rows), 1),
+                "eval_s": round(sum(r["t_eval"] for r in rows), 1),
+            }
+            att["host_overhead_s"] = round(
+                att["steps_wall_s"] - att["device_est_s"], 1)
+        print(json.dumps({"attribution" + suffix: att, "curve" + suffix: state["curve"]}))
         print(json.dumps({
             "metric": "time_to_psnr25" + suffix,
             "value": round(wall, 1),

@@ -53,7 +53,7 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--section", choices=["all", "binning", "raster", "pre", "loss"],
+    ap.add_argument("--section", choices=["all", "binning", "binning2", "raster", "pre", "loss"],
                     default="all",
                     help="time only one pipeline section (each sub-program "
                          "pays a full tunnel compile on a cold cache — "
@@ -127,6 +127,147 @@ def main():
             return jax.lax.sort_key_val(key, m)
 
         timeit("bin: patch sort (786k int32)", part_patch_sort, c1)
+
+    if sec == "binning2":
+        # Finer decomposition with NON-FOLDABLE inputs (the original
+        # part_patch_sort row was iota-derived and XLA constant-folded the
+        # whole sort) plus an explicit dispatch-floor row: every isolated
+        # program pays ~4 ms of tunnel dispatch per call, so real cost =
+        # row - floor.
+        timeit("floor (x+1 on [8,128])", jax.jit(lambda x: x + 1.0),
+               jnp.zeros((8, 128), jnp.float32))
+
+        binning = jax.jit(lambda: bin_gaussians(
+            us, depths, areas, valid, width=W, height=H, max_patches=MAXP,
+            max_rows=MAXR, cinv2ds=aux["cinv2ds"], alphas=aux["alphas"]))()
+        jax.block_until_ready(binning)
+        # rebuild the real intermediates the sub-rows need
+        fkeys = jnp.where(valid, depths, jnp.inf)
+        keys0 = jax.lax.bitcast_convert_type(fkeys, jnp.int32)
+        _, order = jax.lax.sort_key_val(keys0, jnp.arange(N, dtype=jnp.int32))
+        rects, valid2 = jax.jit(lambda u, a, v: gaussian_rects(u, a, v, W, H))(
+            us, areas, valid)
+        rects_s, valid_s = rects[order], valid2[order]
+        y0, y1 = rects_s[:, 1], rects_s[:, 3]
+        row_counts = jnp.where(valid_s, y1 - y0, 0).astype(jnp.int32)
+        rcum = jnp.cumsum(row_counts)
+        rstart = rcum - row_counts
+        gtab = jnp.concatenate([us, aux["cinv2ds"], aux["alphas"][:, None],
+                                rects[:, 0:1].astype(jnp.float32),
+                                rects[:, 2:3].astype(jnp.float32)], axis=1)
+        row_ord = jax.jit(lambda: _scan1(_propagate_marks(
+            rstart, order, MAXR)))()
+        row_gs = jnp.clip(row_ord, 0, N - 1)
+        jax.block_until_ready((gtab, row_gs))
+
+        # real tile ids/gsids out of the finished binning (unsorted slot
+        # order reconstructed by inverting the sort is impossible — instead
+        # shuffle the SORTED ids with a fixed permutation: same key
+        # distribution, not foldable)
+        perm = np.random.RandomState(0).permutation(MAXP)
+        tile_shuf = jnp.asarray(np.asarray(binning["patch_tile"])[perm])
+        gsid_shuf = jnp.asarray(np.asarray(binning["patch_gsid"])[perm])
+
+        @jax.jit
+        def part_real_sort(tile_id, gsid):
+            mvec = jnp.arange(MAXP, dtype=jnp.int32)
+            sign = jnp.uint32(1 << 31)
+            mp_bits = (MAXP - 1).bit_length()
+            key_u = (tile_id.astype(jnp.uint32) << mp_bits) | mvec.astype(jnp.uint32)
+            key = jax.lax.bitcast_convert_type(key_u ^ sign, jnp.int32)
+            return jax.lax.sort_key_val(key, gsid)
+
+        timeit("bin2: patch sort REAL (573k)", part_real_sort, tile_shuf, gsid_shuf)
+
+        @jax.jit
+        def part_sort_nopayload(tile_id):
+            mvec = jnp.arange(MAXP, dtype=jnp.int32)
+            sign = jnp.uint32(1 << 31)
+            mp_bits = (MAXP - 1).bit_length()
+            key_u = (tile_id.astype(jnp.uint32) << mp_bits) | mvec.astype(jnp.uint32)
+            key = jax.lax.bitcast_convert_type(key_u ^ sign, jnp.int32)
+            return jax.lax.sort(key)
+
+        timeit("bin2: patch sort key-only (573k)", part_sort_nopayload, tile_shuf)
+
+        @jax.jit
+        def part_gtab_gather(gtab, row_gs):
+            return jnp.take(gtab, row_gs, axis=0)
+
+        timeit("bin2: gtab row gather (262k x 32B)", part_gtab_gather, gtab, row_gs)
+
+        @jax.jit
+        def part_depth_plus_gathers(depths, valid, us, areas):
+            fkeys = jnp.where(valid, depths, jnp.inf)
+            keys = jax.lax.bitcast_convert_type(fkeys, jnp.int32)
+            _, order = jax.lax.sort_key_val(keys, jnp.arange(N, dtype=jnp.int32))
+            rects, v2 = gaussian_rects(us, areas, valid, W, H)
+            return rects[order], v2[order]
+
+        timeit("bin2: depth sort + N gathers", part_depth_plus_gathers,
+               depths, valid, us, areas)
+
+        @jax.jit
+        def part_gsid_counts(order, row_w, rstart, row_counts):
+            wcum = _scan1(row_w)
+            kept = jnp.minimum(wcum[-1], MAXP)
+            wcum_pad = jnp.concatenate([jnp.zeros(1, wcum.dtype), wcum])
+            lo_cnt = jnp.minimum(wcum_pad[jnp.clip(rstart, 0, MAXR)], kept)
+            hi_cnt = jnp.minimum(
+                wcum_pad[jnp.clip(rstart + row_counts, 0, MAXR)], kept)
+            count_sorted = (hi_cnt - lo_cnt).astype(jnp.int32)
+            from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
+            _, by_id = sort_pairs(order, count_sorted)
+            return by_id
+
+        row_w = jnp.minimum(rects_s[:, 2] - rects_s[:, 0], 3).astype(jnp.int32)[:MAXR] \
+            if MAXR <= N else jnp.ones((MAXR,), jnp.int32)
+        timeit("bin2: gsid_counts chain", part_gsid_counts,
+               order, row_w, rstart, row_counts)
+
+        @jax.jit
+        def part_l2_scan_only(row_w):
+            return _scan1(row_w)
+
+        timeit("bin2: L2 row_w cumsum (262k)", part_l2_scan_only, row_w)
+
+        @jax.jit
+        def part_l2_one_scatter(rstart):
+            return _propagate_marks(jnp.clip(rstart * 2, 0, MAXP - 1), rstart, MAXP)
+
+        timeit("bin2: ONE scatter at 573k", part_l2_one_scatter, rstart)
+
+        @jax.jit
+        def part_l2_cumsum_only(x2):
+            return batched_cumsum([x2[0], x2[1]])
+
+        x2 = jnp.zeros((2, MAXP), jnp.int32) + tile_shuf[None, :]
+        timeit("bin2: batched cumsum [2,573k]", part_l2_cumsum_only, x2)
+
+        @jax.jit
+        def part_bounds(key_sorted):
+            sign = jnp.uint32(1 << 31)
+            mp_bits = (MAXP - 1).bit_length()
+            tids = jnp.arange(gx * gy + 1, dtype=jnp.int32)
+            tkeys = jax.lax.bitcast_convert_type(
+                (tids.astype(jnp.uint32) << mp_bits) ^ sign, jnp.int32)
+            return jnp.searchsorted(key_sorted, tkeys, side="left").astype(jnp.int32)
+
+        key_sorted, _ = part_real_sort(tile_shuf, gsid_shuf)
+        timeit("bin2: bounds searchsorted (2172q)", part_bounds, key_sorted)
+
+        # full bin TOTAL with the ellipse culling ON (the production config;
+        # the r4 'bin: TOTAL' row ran without conics) and its ablation
+        timeit("bin2: TOTAL (ellipse+counts ON)",
+               jax.jit(lambda: bin_gaussians(
+                   us, depths, areas, valid, width=W, height=H,
+                   max_patches=MAXP, max_rows=MAXR, cinv2ds=aux["cinv2ds"],
+                   alphas=aux["alphas"], gsid_counts=True)))
+        timeit("bin2: TOTAL (no ellipse, no counts)",
+               jax.jit(lambda: bin_gaussians(
+                   us, depths, areas, valid, width=W, height=H,
+                   max_patches=MAXP, max_rows=MAXR)))
+        return
 
     # binning/meta feed the raster rows; --section pre/loss never use them —
     # skip both (each is a full cold tunnel compile the flag exists to avoid)
