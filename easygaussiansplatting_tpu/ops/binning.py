@@ -348,7 +348,8 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         # A key sort of (order, counts) IS that inversion (order is a
         # permutation, so the sorted keys are 0..n-1) — on TPU this rides
         # the Pallas bitonic sort; a 65k scatter-set would cost ~10x more.
-        if jax.default_backend() == "tpu" and us.dtype != jnp.float64:
+        if (jax.default_backend() == "tpu" and us.dtype != jnp.float64
+                and not env_flag("EGS_XLA_GRAD_SORT")):
             from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
 
             _, by_id = sort_pairs(order, count_sorted)
@@ -358,8 +359,8 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
     return out
 
 
-@partial(jax.jit, static_argnames=("k_chunk", "n_tiles"))
-def segment_layout(binning, *, k_chunk, n_tiles):
+@partial(jax.jit, static_argnames=("k_chunk", "n_tiles", "interleave"))
+def segment_layout(binning, *, k_chunk, n_tiles, interleave=1):
     """(chunk x tile) segment metadata for the streaming Pallas rasteriser.
 
     The kernels stream the *unpadded* sorted patch array in K-entry chunks;
@@ -411,7 +412,7 @@ def segment_layout(binning, *, k_chunk, n_tiles):
     # ~1.5x the true patch count (adaptive headroom), so gating on this flag
     # saves the kernels' compute on alpha=0 padding rows.
     kept = jnp.sum(binning["tile_cnt"])
-    return {
+    meta = {
         "seg_chunk": seg_chunk,
         "seg_tile": seg_tile,
         "seg_lo": seg_lo,
@@ -422,6 +423,53 @@ def segment_layout(binning, *, k_chunk, n_tiles):
         "chunk_tail": (seg_chunk != nxt_chunk).astype(jnp.int32),
         "seg_live": (seg_start < kept).astype(jnp.int32),
     }
+    if interleave <= 1:
+        meta["seg_slot"] = jnp.zeros_like(seg_chunk)
+        return meta
+
+    # Tile-interleaved segment order (r5): consecutive grid steps belong to
+    # DIFFERENT tiles, so the per-tile transmittance carry chain — whose
+    # serial latency through the sub-chunk scans/MXU contractions bounds
+    # the backward kernel — no longer stalls the units between steps.
+    # Streams = tile % interleave; segments are reordered round-robin
+    # across streams (position within stream is the primary key), which
+    # preserves every tile's internal segment order (the blend recurrence)
+    # and every chunk's internal order under reversal. Each segment carries
+    # its stream in seg_slot: the kernels keep one blend/carry state per
+    # stream in scratch. The chunk-gradient flags are recomputed on the NEW
+    # order (a chunk's segments are no longer adjacent): bwd_zero marks a
+    # chunk's first visit in the backward's reverse walk, bwd_flush its
+    # last — the backward accumulates in per-stream scratch and DMAs the
+    # finished [16, k] chunk gradient block out at bwd_flush.
+    q = seg_chunk.shape[0]
+    stream = seg_tile % interleave
+    pos_in_stream = jnp.zeros(q, jnp.int32)
+    for p in range(interleave):
+        msk = (stream == p).astype(jnp.int32)
+        pos_in_stream = pos_in_stream + jnp.where(
+            stream == p, jnp.cumsum(msk) - 1, 0
+        )
+    okey = pos_in_stream * interleave + stream
+    _, perm = jax.lax.sort_key_val(okey, jnp.arange(q, dtype=jnp.int32))
+    meta = {kk: v[perm] for kk, v in meta.items()}
+    meta["seg_slot"] = stream[perm]
+    # (chunk, stream) pair first/last positions in the permuted order. A
+    # chunk's segments can live on SEVERAL streams (its tiles hash to
+    # different slots), so the backward accumulates each pair in its own
+    # stream scratch and flushes to a per-stream output plane; bwd_zero
+    # marks a pair's first visit in the REVERSE walk (= last position),
+    # bwd_flush its last (= first position). The never-visited (chunk,
+    # stream) planes stay garbage and are masked out by pair_visited.
+    pos = jnp.arange(q, dtype=jnp.int32)
+    pair = meta["seg_chunk"] * interleave + meta["seg_slot"]
+    npair = n_chunks * interleave
+    first_pos = jnp.full(npair, q, jnp.int32).at[pair].min(pos)
+    last_pos = jnp.full(npair, -1, jnp.int32).at[pair].max(pos)
+    meta["bwd_zero"] = (pos == last_pos[pair]).astype(jnp.int32)
+    meta["bwd_flush"] = (pos == first_pos[pair]).astype(jnp.int32)
+    # [n_chunks, interleave] visited mask for the post-kernel merge
+    meta["pair_visited"] = (last_pos >= 0).reshape(n_chunks, interleave)
+    return meta
 
 
 @partial(jax.jit, static_argnames=("max_per_tile",))

@@ -162,22 +162,31 @@ SUB = int(_os.environ.get("EGS_SUB", "64"))
 if SUB < 8 or SUB & (SUB - 1):
     raise ValueError(f"EGS_SUB must be a power of two >= 8, got {SUB}")
 
+# r5 probe: drop the per-sub-chunk [lo, hi) overlap gates and compute every
+# sub-chunk of every segment unconditionally (the in_seg/rowmask lane masks
+# already make out-of-segment rows inert, so gating is purely a perf
+# choice). If step time moves much less than the ~2.6x compute increase
+# (26k sub-computes vs 10k gated), per-sub fixed costs — scalar reads,
+# branch setup — dominate the kernels, not VPU/MXU work.
+NO_SUBGATE = env_flag("EGS_NO_SUBGATE")
+
 
 def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
-                   last_ref, tail_ref, live_ref,
+                   last_ref, tail_ref, live_ref, slot_ref,
                    packed_ref, img_ref, tau_ref, cont_ref,
                    img_s, tau_s, cont_s, sat_s, *, gx, tile, k):
     p = tile * tile
     s = pl.program_id(0)
     t = tile_ref[s]
+    sl = slot_ref[s]  # blend-state stream (EGS_INTERLEAVE; 0 when off)
     px, py, ox, oy = _pixel_coords(t, gx, tile, p)
 
     @pl.when(first_ref[s] == 1)
     def _():
-        img_s[:] = jnp.zeros((3, p), jnp.float32)
-        tau_s[:] = jnp.ones((1, p), jnp.float32)
-        cont_s[:] = jnp.zeros((1, p), jnp.int32)
-        sat_s[0] = 0
+        img_s[sl] = jnp.zeros((3, p), jnp.float32)
+        tau_s[sl] = jnp.ones((1, p), jnp.float32)
+        cont_s[sl] = jnp.zeros((1, p), jnp.int32)
+        sat_s[sl] = 0
 
     lo = lo_ref[s]
     hi = hi_ref[s]
@@ -193,10 +202,13 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     for sc in range(k // sub):
         s0 = sc * sub
 
-        @pl.when((hi > s0) & (lo < s0 + sub) & (sat_s[0] == 0)
-                 & (live_ref[s] == 1))
+        gate = ((sat_s[sl] == 0) & (live_ref[s] == 1)) if NO_SUBGATE else (
+            (hi > s0) & (lo < s0 + sub) & (sat_s[sl] == 0)
+            & (live_ref[s] == 1))
+
+        @pl.when(gate)
         def _(s0=s0):
-            tau = tau_s[:]  # [1,P]
+            tau = tau_s[sl]  # [1,P]
             data = packed_ref[s0:s0 + sub, :]  # [SUB,16] static slice
             # [SUB,1] row iota: the segment membership test is row-constant,
             # so keep it narrow and let broadcasting pay only one [SUB,P] op
@@ -209,7 +221,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             contribute = m1 & (tau_ex >= TAU_STOP)  # (F.6.4)
             wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
-            img_s[:] = img_s[:] + jax.lax.dot_general(
+            img_s[sl] = img_s[sl] + jax.lax.dot_general(
                 colc, wgt, (((0,), (0,)), ((), ())), precision=_DOT,
                 preferred_element_type=jnp.float32,
             )  # [3,P]
@@ -220,49 +232,84 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # reduce-prod primitive). A log-space MXU variant of this
             # forward scan was REJECTED on the r4 chip A/B (see LOG_SCAN).
             new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
-            tau_s[:] = new_tau
-            sat_s[0] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
+            tau_s[sl] = new_tau
+            sat_s[sl] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
             idx1 = pos_ref[s] + (subc - lo) + 1  # 1-based position in tile list
-            cont_s[:] = jnp.maximum(
-                cont_s[:],
+            cont_s[sl] = jnp.maximum(
+                cont_s[sl],
                 jnp.max(jnp.where(contribute, idx1, 0), axis=0, keepdims=True),
             )
 
     # Write the tile's outputs once, at its last segment.
     @pl.when(last_ref[s] == 1)
     def _():
-        img_ref[0] = img_s[:]
-        tau_ref[0] = tau_s[:]
-        cont_ref[0] = cont_s[:]
+        img_ref[0] = img_s[sl]
+        tau_ref[0] = tau_s[sl]
+        cont_ref[0] = cont_s[sl]
 
 
 def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
-                    last_ref, tail_ref, live_ref, maxcont_ref,
-                    packed_ref, g_ref, tau_ref, cont_ref, grads_ref,
-                    tau_s, gag_s, *, gx, tile, k, q_total):
+                    last_ref, tail_ref, live_ref, slot_ref, *refs,
+                    gx, tile, k, q_total, interleaved=False):
+    if interleaved:
+        # extra prefetch: chunk-flush flag (last reverse visit of a chunk);
+        # extra scratch: per-stream [GRAD_ROWS, k] accumulators + DMA sem +
+        # pending flags. grads_ref is the FULL [GRAD_ROWS, M] array (ANY):
+        # with tiles interleaved a chunk's segments are not adjacent, so
+        # the out-BlockSpec revisit pattern (which only keeps a block
+        # resident across CONSECUTIVE same-index steps) can no longer
+        # carry the read-modify-write accumulation — each stream
+        # accumulates in scratch and DMAs the finished chunk block out.
+        (flush_ref, maxcont_ref, packed_ref, g_ref, tau_ref, cont_ref,
+         grads_ref, tau_s, gag_s, grad_s, dma_sem, pending) = refs
+    else:
+        (maxcont_ref, packed_ref, g_ref, tau_ref, cont_ref, grads_ref,
+         tau_s, gag_s) = refs
     p = tile * tile
     i = pl.program_id(0)
     rs = q_total - 1 - i  # segments are visited back-to-front
     t = tile_ref[rs]
+    sl = slot_ref[rs]
+    n_slots = tau_s.shape[0]
     px, py, ox, oy = _pixel_coords(t, gx, tile, p)
     q = _pix_basis(px, py, p)
+
+    if interleaved:
+        @pl.when(i == 0)
+        def _():
+            for pp in range(n_slots):
+                pending[pp] = 0
 
     # First visit of this tile (its last segment): load the final
     # transmittance (B.2.1 carry init), clear the color-gradient carry
     # (B.2.2; drawB kernel.cu:899-916).
     @pl.when(last_ref[rs] == 1)
     def _():
-        tau_s[:] = tau_ref[0]
-        gag_s[:] = jnp.zeros((1, p), jnp.float32)
+        tau_s[sl] = tau_ref[0]
+        gag_s[sl] = jnp.zeros((1, p), jnp.float32)
 
     # First reverse visit of this chunk: zero its gradient block (revisited
     # across this chunk's segments; masked writes accumulate into it). The
     # block is transposed [GRAD_ROWS, K] — entries on lanes — so the full
     # [16, M] gradient array stays lane-compact in HBM (an [M, 16] layout
     # would lane-pad 16 -> 128 and write 8x the bytes).
-    @pl.when(tail_ref[rs] == 1)
-    def _():
-        grads_ref[:] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
+    if interleaved:
+        @pl.when(tail_ref[rs] == 1)
+        def _():
+            # drain this stream's previous in-flight writeback before
+            # reusing its scratch
+            @pl.when(pending[sl] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    grad_s.at[sl], grads_ref.at[sl, slice(None), pl.ds(0, k)],
+                    dma_sem.at[sl],
+                ).wait()
+            pending[sl] = 0
+            grad_s[sl] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
+    else:
+        @pl.when(tail_ref[rs] == 1)
+        def _():
+            grads_ref[:] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
 
     lo = lo_ref[rs]
     hi = hi_ref[rs]
@@ -277,9 +324,12 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     for sc in reversed(range(k // sub)):
         s0 = sc * sub
 
-        @pl.when((hi > s0) & (lo < s0 + sub)
-                 & (maxcont_ref[t] > pos + jnp.maximum(0, s0 - lo))
-                 & (live_ref[rs] == 1))
+        gate = (live_ref[rs] == 1) if NO_SUBGATE else (
+            (hi > s0) & (lo < s0 + sub)
+            & (maxcont_ref[t] > pos + jnp.maximum(0, s0 - lo))
+            & (live_ref[rs] == 1))
+
+        @pl.when(gate)
         def _(s0=s0):
             cont = cont_ref[0]  # [1,P] int32
             data = packed_ref[s0:s0 + sub, :]  # [SUB,16]
@@ -293,7 +343,7 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             m = rowmask & (idx0 < cont) & (ap >= ALPHA_SKIP)
 
             one_m = jnp.where(m, 1.0 - ap, 1.0)
-            tau_end = tau_s[:]
+            tau_end = tau_s[sl]
             if LOG_SCAN:
                 # suffix product + division in log space: the 7-round
                 # sublane Hillis-Steele scan and the [SUB,P] divide become
@@ -308,11 +358,11 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                 ).astype(jnp.float32)
                 lsfx = _tri_dot(tri_ge, lg)  # [SUB,P] incl. suffix sum of logs
                 tau_ex = tau_end * jnp.exp(-lsfx)
-                tau_s[:] = tau_end * jnp.exp(-lsfx[0:1, :])
+                tau_s[sl] = tau_end * jnp.exp(-lsfx[0:1, :])
             else:
                 sfx = suffix_prod_inclusive(one_m)  # [SUB,P] (B.2.1)
                 tau_ex = tau_end / sfx      # T_{k-1} per entry (B.2.1; drawB division)
-                tau_s[:] = tau_end / sfx[0:1, :]
+                tau_s[sl] = tau_end / sfx[0:1, :]
 
             contr = jnp.where(m, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
@@ -327,14 +377,14 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # MXU contraction ([SUB,SUB] x [SUB,P]): the 7-round sublane
             # Hillis-Steele scan was ~1/6 of the kernel's VPU time, and a
             # linear map belongs on the systolic array
-            gag = gag_s[:]
+            gag = gag_s[sl]
             tri = (
                 jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
                 > jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
             ).astype(jnp.float32)
             Gg = _tri_dot(tri, cgw) + gag
             # Gg[0] = gag + sum_{j>0} cgw[j], so the new carry is free:
-            gag_s[:] = Gg[0:1, :] + cgw[0:1, :]
+            gag_s[sl] = Gg[0:1, :] + cgw[0:1, :]
 
             # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)
             dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)
@@ -387,10 +437,39 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # other segments own the other lanes of the chunk block
             colmask = rowmask.reshape(1, sub)  # [1,SUB]
             cs = slice(s0, s0 + sub)
-            grads_ref[0:1, cs] = jnp.where(colmask, dux.reshape(1, sub), grads_ref[0:1, cs])
-            grads_ref[1:2, cs] = jnp.where(colmask, duy.reshape(1, sub), grads_ref[1:2, cs])
-            grads_ref[2:3, cs] = jnp.where(colmask, dca.reshape(1, sub), grads_ref[2:3, cs])
-            grads_ref[3:4, cs] = jnp.where(colmask, dcb.reshape(1, sub), grads_ref[3:4, cs])
-            grads_ref[4:5, cs] = jnp.where(colmask, dcc.reshape(1, sub), grads_ref[4:5, cs])
-            grads_ref[5:6, cs] = jnp.where(colmask, dalpha.reshape(1, sub), grads_ref[5:6, cs])
-            grads_ref[6:9, cs] = jnp.where(colmask, dcolor.T, grads_ref[6:9, cs])
+            if interleaved:
+                gref = grad_s.at[sl]
+            else:
+                gref = grads_ref
+            gref[0:1, cs] = jnp.where(colmask, dux.reshape(1, sub), gref[0:1, cs])
+            gref[1:2, cs] = jnp.where(colmask, duy.reshape(1, sub), gref[1:2, cs])
+            gref[2:3, cs] = jnp.where(colmask, dca.reshape(1, sub), gref[2:3, cs])
+            gref[3:4, cs] = jnp.where(colmask, dcb.reshape(1, sub), gref[3:4, cs])
+            gref[4:5, cs] = jnp.where(colmask, dcc.reshape(1, sub), gref[4:5, cs])
+            gref[5:6, cs] = jnp.where(colmask, dalpha.reshape(1, sub), gref[5:6, cs])
+            gref[6:9, cs] = jnp.where(colmask, dcolor.T, gref[6:9, cs])
+
+    if interleaved:
+        # chunk finished on this stream: DMA its [GRAD_ROWS, k] block to the
+        # flat gradient array; the wait is deferred to the stream's next
+        # chunk zero-init (or the final drain below)
+        @pl.when(flush_ref[rs] == 1)
+        def _():
+            ch = chunk_ref[rs]
+            pltpu.make_async_copy(
+                grad_s.at[sl], grads_ref.at[sl, slice(None), pl.ds(ch * k, k)],
+                dma_sem.at[sl],
+            ).start()
+            pending[sl] = 1
+
+        @pl.when(i == q_total - 1)
+        def _():
+            for pp in range(n_slots):
+                @pl.when(pending[pp] == 1)
+                def _(pp=pp):
+                    pltpu.make_async_copy(
+                        grad_s.at[pp],
+                        grads_ref.at[pp, slice(None), pl.ds(0, k)],
+                        dma_sem.at[pp],
+                    ).wait()
+                    pending[pp] = 0

@@ -33,7 +33,7 @@ from easygaussiansplatting_tpu.ops.pallas.kernels import (
 
 _META_KEYS = (
     "seg_chunk", "seg_tile", "seg_lo", "seg_hi", "seg_pos",
-    "seg_first", "seg_last", "chunk_tail", "seg_live",
+    "seg_first", "seg_last", "chunk_tail", "seg_live", "seg_slot",
 )
 
 
@@ -41,8 +41,9 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
-@partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
-def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret):
+@partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret",
+                                   "n_slots"))
+def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret, n_slots=1):
     p = tile * tile
     q_total = meta["seg_chunk"].shape[0]
     kern = functools.partial(forward_kernel, gx=gx, tile=tile, k=k)
@@ -61,10 +62,11 @@ def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret):
             pl.BlockSpec((1, 1, p), out_map, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, p), jnp.float32),   # tile color accumulator
-            pltpu.VMEM((1, p), jnp.float32),   # transmittance
-            pltpu.VMEM((1, p), jnp.int32),     # contributor counts
-            pltpu.SMEM((1,), jnp.int32),       # tile-saturated flag
+            # one blend state per interleave stream (n_slots = 1 when off)
+            pltpu.VMEM((n_slots, 3, p), jnp.float32),   # tile color accum
+            pltpu.VMEM((n_slots, 1, p), jnp.float32),   # transmittance
+            pltpu.VMEM((n_slots, 1, p), jnp.int32),     # contributor counts
+            pltpu.SMEM((n_slots,), jnp.int32),          # tile-saturated flag
         ],
     )
     return pl.pallas_call(
@@ -79,19 +81,52 @@ def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret):
     )(*(meta[kk] for kk in _META_KEYS), packed)
 
 
-@partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret"))
+@partial(jax.jit, static_argnames=("n_tiles", "gx", "tile", "k", "interpret",
+                                   "interleave"))
 def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
-              *, n_tiles, gx, tile, k, interpret):
+              *, n_tiles, gx, tile, k, interpret, interleave=1):
     p = tile * tile
     m_total = packed.shape[0]
     q_total = meta["seg_chunk"].shape[0]
-    kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k, q_total=q_total)
+    inter = interleave > 1
+    kern = functools.partial(backward_kernel, gx=gx, tile=tile, k=k,
+                             q_total=q_total, interleaved=inter)
     rev_in = lambda i, chunk_ref, *_: (chunk_ref[q_total - 1 - i], 0)
     rev_tile = lambda i, chunk_ref, tile_ref, *_: (tile_ref[q_total - 1 - i], 0, 0)
     # per-tile max contributor count: lets the kernel's skip test stay scalar
     maxcont = jnp.max(cont_tiles[:, 0, :], axis=1).astype(jnp.int32)
+    if inter:
+        # tile-interleaved order: a chunk's segments are not adjacent, so
+        # the grad block cannot ride the out-BlockSpec revisit pattern —
+        # per-stream scratch accumulates and the kernel DMAs each finished
+        # chunk block into the flat [GRAD_ROWS, M] output (memory space ANY)
+        metas = [meta["bwd_zero" if kk == "chunk_tail" else kk]
+                 for kk in _META_KEYS]
+        extra = [meta["bwd_flush"], maxcont]
+        out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch = [
+            pltpu.VMEM((interleave, 1, p), jnp.float32),  # tau carry / stream
+            pltpu.VMEM((interleave, 1, p), jnp.float32),  # color-grad carry
+            pltpu.VMEM((interleave, GRAD_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((interleave,)),
+            pltpu.SMEM((interleave,), jnp.int32),         # pending-DMA flags
+        ]
+    else:
+        metas = [meta[kk] for kk in _META_KEYS]
+        extra = [maxcont]
+        out_specs = [
+            pl.BlockSpec(
+                (GRAD_ROWS, k),
+                lambda i, chunk_ref, *_: (0, chunk_ref[q_total - 1 - i]),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        scratch = [
+            pltpu.VMEM((1, 1, p), jnp.float32),  # transmittance carry
+            pltpu.VMEM((1, 1, p), jnp.float32),  # accumulated color-grad carry
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=len(_META_KEYS) + 1,
+        num_scalar_prefetch=len(_META_KEYS) + len(extra),
         grid=(q_total,),
         in_specs=[
             pl.BlockSpec((k, PACK_ROWS), rev_in, memory_space=pltpu.VMEM),
@@ -99,27 +134,33 @@ def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
             pl.BlockSpec((1, 1, p), rev_tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), rev_tile, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (GRAD_ROWS, k),
-                lambda i, chunk_ref, *_: (0, chunk_ref[q_total - 1 - i]),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, p), jnp.float32),  # transmittance carry
-            pltpu.VMEM((1, p), jnp.float32),  # accumulated color-grad carry
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(
+        ((interleave, GRAD_ROWS, m_total) if inter
+         else (GRAD_ROWS, m_total)), jnp.float32)]
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m_total), jnp.float32)],
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True)
+        if inter else None,
         interpret=interpret,
     )(
-        *(meta[kk] for kk in _META_KEYS), maxcont,
+        *metas, *extra,
         packed, g_tiles, tau_tiles, cont_tiles,
     )[0]
+    if inter:
+        # merge the per-stream planes: a (chunk, stream) pair owns disjoint
+        # patch columns; never-visited pairs hold garbage — mask by the
+        # visited table, then sum over streams
+        n_chunks = m_total // k
+        planes = out.reshape(interleave, GRAD_ROWS, n_chunks, k)
+        vis = jnp.transpose(meta["pair_visited"])[:, None, :, None]
+        out = jnp.sum(jnp.where(vis, planes, 0.0), axis=0).reshape(
+            GRAD_ROWS, m_total)
+    return out
 
 
 def _pack(table, gsafe, live):
@@ -129,27 +170,32 @@ def _pack(table, gsafe, live):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _raster_table(dims, table, gsafe, live, meta):
-    n_tiles, gx, tile, k, interpret = dims
+    n_tiles, gx, tile, k, interpret, interleave = dims
     return _fwd_call(_pack(table, gsafe, live), meta,
-                     n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret)
+                     n_tiles=n_tiles, gx=gx, tile=tile, k=k,
+                     interpret=interpret, n_slots=interleave)
 
 
 def _raster_table_fwd(dims, table, gsafe, live, meta):
-    n_tiles, gx, tile, k, interpret = dims
+    n_tiles, gx, tile, k, interpret, interleave = dims
     packed = _pack(table, gsafe, live)
     image, tau, cont = _fwd_call(
-        packed, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret
+        packed, meta, n_tiles=n_tiles, gx=gx, tile=tile, k=k,
+        interpret=interpret, n_slots=interleave
     )
     return (image, tau, cont), (packed, table.shape[0], gsafe, live, meta, tau, cont)
 
 
 def _raster_table_bwd(dims, res, cotangents):
-    n_tiles, gx, tile, k, interpret = dims
+    n_tiles, gx, tile, k, interpret, interleave = dims
     packed, n, gsafe, live, meta, tau, cont = res
     g_img, _, _ = cotangents  # gradients w.r.t. tau/contrib are not propagated
+    bwd_keys = _META_KEYS + (("bwd_zero", "bwd_flush", "pair_visited")
+                             if interleave > 1 else ())
     grads16 = _bwd_call(  # [16, M] — lane-compact (see backward_kernel)
-        packed, {kk: meta[kk] for kk in _META_KEYS}, g_img, tau, cont,
+        packed, {kk: meta[kk] for kk in bwd_keys}, g_img, tau, cont,
         n_tiles=n_tiles, gx=gx, tile=tile, k=k, interpret=interpret,
+        interleave=interleave,
     )
     rows_ct = jnp.where(live[None, :], grads16[:GRAD_USED], 0.0)
     # Deterministic per-gaussian gradient accumulation (B.6.2) — the
@@ -218,7 +264,15 @@ def _sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, n):
         # since the r4 on-chip A/B (+0.24..0.29 Mpix/s in every pairing;
         # winner combo 14.97 vs 14.68 without); EGS_GRAD_PERM=0 restores
         # the 10-column payload sort.
-        skey, pos = sort_pairs(key, jnp.arange(m, dtype=jnp.int32))
+        # EGS_XLA_GRAD_SORT: r5 probe — the r5 bisect measured XLA's
+        # single-key sort_key_val at ~0.9 ms/573k keys vs ~2.3 ms for the
+        # Pallas bitonic network that was chosen in r3 (when XLA measured
+        # 4.4 ms/1M); if it wins in-context the default flips.
+        if env_flag("EGS_XLA_GRAD_SORT"):
+            skey, pos = jax.lax.sort_key_val(
+                key, jnp.arange(m, dtype=jnp.int32))
+        else:
+            skey, pos = sort_pairs(key, jnp.arange(m, dtype=jnp.int32))
         rows16 = jnp.concatenate(
             [rows_ct, jnp.zeros((PACK_ROWS - GRAD_USED, m), rows_ct.dtype)]
         )
@@ -270,7 +324,16 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     m = gsid.shape[0]
     if m % k_chunk:
         raise ValueError(f"max_patches {m} must be a multiple of k_chunk {k_chunk}")
-    meta = dict(segment_layout(binning, k_chunk=k_chunk, n_tiles=n_tiles))
+    # EGS_INTERLEAVE=P (r5 probe): round-robin the segment order across P
+    # tile streams so consecutive grid steps carry independent blend states
+    # — the per-tile transmittance chain's serial latency stops stalling
+    # the units between steps (see binning.segment_layout / kernels.py).
+    from easygaussiansplatting_tpu.utils.envflag import env_flag as _ef
+    import os as _osl
+
+    interleave = int(_osl.environ.get("EGS_INTERLEAVE", "1"))
+    meta = dict(segment_layout(binning, k_chunk=k_chunk, n_tiles=n_tiles,
+                               interleave=interleave))
     # per-gaussian patch counts ride along for the backward's sort-reduce
     # gradient accumulation (None -> XLA scatter fallback, e.g. off-TPU)
     meta["gsid_counts"] = binning.get("gsid_counts")
@@ -291,7 +354,7 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
             axis=1,
         )  # columns: ux uy ca cb cc alpha r g b pad
 
-    dims = (n_tiles, gx, tile, k_chunk, bool(interpret))
+    dims = (n_tiles, gx, tile, k_chunk, bool(interpret), interleave)
     image_t, tau_t, cont_t = _raster_table(dims, table, gsafe, live, meta)
 
     # Tiles with no patches are never visited by any segment; fill them.

@@ -46,6 +46,20 @@ VARIANTS = [
     # sort_key_val it replaces — aborted on-chip in r4, re-probe after fix
     ("radix", {"EGS_RADIX_SORT": "1"}),
     ("radixred", {"EGS_RADIX_REDUCE": "1"}),
+    # r5 probes: XLA single-key sort_key_val measured ~0.9 ms/573k in the r5
+    # bisect vs ~2.3 ms for the Pallas bitonic the r3 grad reduce chose
+    ("xla_grad_sort", {"EGS_XLA_GRAD_SORT": "1"}),
+    # ungated sub-chunks probe: REMOVED from the standing sweep — its fully
+    # unrolled kernels stalled the tunnel compiler >17 min on-chip (killed;
+    # same failure mode as the 80 MB HLO program in CLAUDE.md). The flag
+    # stays for off-line use.
+    # r5: tile-interleaved segment order — consecutive grid steps carry
+    # independent per-tile blend states so the backward's serial tau chain
+    # stops stalling the units between steps (kernels.py / segment_layout)
+    ("il2", {"EGS_INTERLEAVE": "2"}),
+    ("il4", {"EGS_INTERLEAVE": "4"}),
+    ("il2_xgs", {"EGS_INTERLEAVE": "2", "EGS_XLA_GRAD_SORT": "1"}),
+    ("il4_xgs", {"EGS_INTERLEAVE": "4", "EGS_XLA_GRAD_SORT": "1"}),
 ]
 
 

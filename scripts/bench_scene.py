@@ -46,6 +46,20 @@ def main():
                          "reconstructing gaussians from their own clean "
                          "renders understates densification work vs real "
                          "photos (VERDICT r2). Separate baseline row.")
+    ap.add_argument("--oracle-gt", action="store_true",
+                    help="no training: evaluate the GROUND-TRUTH pool "
+                         "(every scene gaussian at its true parameters) "
+                         "against the (noisy, for --realism) eval views and "
+                         "print the PSNR. This is the reconstruction upper "
+                         "bound: if even the true scene saturates below the "
+                         "target on the realism preset, the 'PSNR-25 is a "
+                         "capacity wall' claim holds; if it clears 25, the "
+                         "trainer is leaving PSNR on the table (VERDICT r4 "
+                         "#4).")
+    ap.add_argument("--cap-factor", type=float, default=None,
+                    help="override the pool-capacity factor (default 2.5, "
+                         "realism 5.0) — the VERDICT r4 #4 oracle (b) runs "
+                         "--realism --cap-factor 10 --epochs 100")
     ap.add_argument("--full", action="store_true",
                     help="full-regime run (VERDICT r3 item 4): do NOT stop "
                          "at the PSNR target — run the reference recipe "
@@ -131,6 +145,39 @@ def main():
     print(f"rendered {n_cams} GT views in {time.time() - t_gt:.1f}s "
           f"(realism={args.realism})", flush=True)
 
+    if args.oracle_gt:
+        # reconstruction upper bound: the exact scene as the pool
+        n_total = len(scene["pws"])
+        cap = ((n_total + 255) // 256) * 256
+        pool = pool_from_arrays(
+            scene["pws"], scene["rots"], scene["scales"], scene["alphas"],
+            scene["shs"], capacity=cap,
+        )
+        eval_ids = list(range(0, n_cams, max(1, n_cams // 4)))[:4]
+        from easygaussiansplatting_tpu.train.loop import render_pool_image
+
+        vals, drops = [], 0
+        for i in eval_ids:
+            img, aux = render_pool_image(pool, scene["cameras"][i], config,
+                                         need_grads=False)
+            b = aux.get("binning", {})
+            drops += int(b.get("n_dropped", 0)) + int(b.get("rows_dropped", 0))
+            vals.append(float(psnr(jnp.clip(img, 0, 1),
+                                   jnp.clip(jnp.asarray(gt_images[i]), 0, 1))))
+        if drops:
+            print(f"WARNING: oracle renders dropped {drops} patches/rows — "
+                  f"PSNR is an underestimate; raise max_patches", flush=True)
+        suffix = "_realism" if args.realism else ""
+        print(json.dumps({
+            "metric": "oracle_gt_psnr" + suffix,
+            "value": round(float(np.mean(vals)), 3),
+            "unit": f"mean eval PSNR of the ground-truth pool "
+                    f"({n_total} gaussians) vs the {'noisy ' if args.realism else ''}"
+                    f"eval views; per-view {[round(v, 2) for v in vals]}",
+            "vs_baseline": 0.0,
+        }))
+        return
+
     # SfM-like init from the ground truth: subsample + jitter positions,
     # quantise colors to uint8 like a real points3D.bin
     rng = np.random.default_rng(7)
@@ -142,7 +189,7 @@ def main():
     rgb = np.clip((scene["shs"][keep] * sh_c0 + 0.5) * 255, 0, 255).astype(np.uint8)
     gs = recarray_to_arrays(points_to_gaussians(xyz, rgb))
 
-    cap_factor = 5.0 if args.realism else 2.5  # densify has to grow more
+    cap_factor = args.cap_factor or (5.0 if args.realism else 2.5)  # densify has to grow more
     capacity = ((int(cap_factor * len(keep)) + 255) // 256) * 256
     pool = pool_from_arrays(
         gs["pws"], gs["rots"], gs["scales"], gs["alphas"], gs["shs"],

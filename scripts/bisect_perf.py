@@ -291,7 +291,7 @@ def main():
             us, aux["cinv2ds"], aux["alphas"][:, None], aux["colors"],
             jnp.zeros((N, 7), jnp.float32)], axis=1)
         n_tiles = gx * gy
-        dims = (n_tiles, gx, 16, K, False)
+        dims = (n_tiles, gx, 16, K, False, 1)
 
         fwd1 = jax.jit(lambda t: R._raster_table(dims, t, gsafe, live, meta))
         image_t, tau_t, cont_t = timeit("raster fwd (pallas_call+pack)", fwd1, table)

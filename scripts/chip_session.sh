@@ -1,6 +1,8 @@
 #!/bin/bash
-# Serialized on-chip round-4 session: baseline bench -> variant A/B ->
-# grad gate on defaults -> grad gate under the A/B winner's flags.
+# Serialized on-chip round-5 session: baseline bench -> variant A/B ->
+# gradient gates -> viewer frame rates -> realism-wall oracles -> both
+# scene proxies. Every measurement strictly serial (two concurrent TPU jobs
+# through the tunnel make all of them garbage — CLAUDE.md).
 cd "$(dirname "$0")/.."
 exec > "${EGS_SESSION_LOG:-/tmp/chip_session.log}" 2>&1
 echo "=== chip session start $(date) ==="
@@ -29,11 +31,20 @@ if [ -n "$wenv" ]; then
 else
   echo "winner is base config; defaults gate covers it"
 fi
+echo "--- viewer frame rates, post device-cache fix (VERDICT r4 #2) ($(date)) ---"
+timeout 3000 python scripts/viewer_fps.py
+echo "--- realism-wall oracle (a): GT pool PSNR (VERDICT r4 #4) ($(date)) ---"
+timeout 3000 python scripts/bench_scene.py --realism --oracle-gt
 echo "--- truck-scale proxy, default preset ($(date)) ---"
-timeout 3600 python scripts/bench_scene.py > /tmp/bench_scene_r4.log 2>&1
-echo "bench_scene rc=$? : $(tail -1 /tmp/bench_scene_r4.log)"
+timeout 3600 python scripts/bench_scene.py > /tmp/bench_scene_r5.log 2>&1
+echo "bench_scene rc=$? : $(tail -2 /tmp/bench_scene_r5.log | head -1)"
+tail -1 /tmp/bench_scene_r5.log
 echo "--- truck-scale proxy, --realism preset ($(date)) ---"
-timeout 3600 python scripts/bench_scene.py --realism > /tmp/bench_scene_r4_realism.log 2>&1
-echo "bench_scene --realism rc=$? : $(tail -1 /tmp/bench_scene_r4_realism.log)"
+timeout 3600 python scripts/bench_scene.py --realism > /tmp/bench_scene_r5_realism.log 2>&1
+echo "bench_scene --realism rc=$? : $(tail -1 /tmp/bench_scene_r5_realism.log)"
+echo "--- realism-wall oracle (b): 2x capacity + 100 epochs ($(date)) ---"
+timeout 7200 python scripts/bench_scene.py --realism --cap-factor 10 --epochs 100 \
+  > /tmp/bench_scene_r5_oracle_b.log 2>&1
+echo "oracle (b) rc=$? : $(tail -1 /tmp/bench_scene_r5_oracle_b.log)"
 echo "=== chip session done $(date) ==="
 touch /tmp/chip_session_done

@@ -337,6 +337,11 @@ VARIANT_ENVS = [
     {"EGS_KCHUNK": "1024"},
     {"EGS_FUSED_PRE": "1"},
     {"EGS_FUSED_PRE": "1", "EGS_LOG_SCAN": "0", "EGS_SUB": "128"},
+    {"EGS_XLA_GRAD_SORT": "1"},   # r5: XLA sort_key_val in the grad reduce
+    {"EGS_NO_SUBGATE": "1"},      # r5: ungated sub-chunks (fixed-cost probe)
+    {"EGS_INTERLEAVE": "2"},      # r5: tile-interleaved segment order
+    {"EGS_INTERLEAVE": "4"},
+    {"EGS_INTERLEAVE": "2", "EGS_XLA_GRAD_SORT": "1"},
 ]
 
 _VARIANT_SCRIPT = r"""
