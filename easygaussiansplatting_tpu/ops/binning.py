@@ -349,7 +349,7 @@ def bin_gaussians(us, depths, areas, valid, *, width, height, tile=TILE, max_pat
         # permutation, so the sorted keys are 0..n-1) — on TPU this rides
         # the Pallas bitonic sort; a 65k scatter-set would cost ~10x more.
         if (jax.default_backend() == "tpu" and us.dtype != jnp.float64
-                and not env_flag("EGS_XLA_GRAD_SORT")):
+                and not env_flag("EGS_XLA_GRAD_SORT", default=True)):
             from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
 
             _, by_id = sort_pairs(order, count_sorted)

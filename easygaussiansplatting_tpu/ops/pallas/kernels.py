@@ -178,14 +178,23 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     p = tile * tile
     s = pl.program_id(0)
     t = tile_ref[s]
-    sl = slot_ref[s]  # blend-state stream (EGS_INTERLEAVE; 0 when off)
+    # blend-state stream (EGS_INTERLEAVE). When off, the scratches are the
+    # plain 2D r4 layout and indexing is the identity — the compiled kernel
+    # is structurally identical to the landed r4 one (a [1, ...] leading
+    # dim with indexed access stalled Mosaic compiles >15 min, r5).
+    multi = img_s.ndim == 3
+    sl = slot_ref[s] if multi else 0
+
+    def at(ref):
+        return ref.at[sl] if multi else ref
+
     px, py, ox, oy = _pixel_coords(t, gx, tile, p)
 
     @pl.when(first_ref[s] == 1)
     def _():
-        img_s[sl] = jnp.zeros((3, p), jnp.float32)
-        tau_s[sl] = jnp.ones((1, p), jnp.float32)
-        cont_s[sl] = jnp.zeros((1, p), jnp.int32)
+        at(img_s)[...] = jnp.zeros((3, p), jnp.float32)
+        at(tau_s)[...] = jnp.ones((1, p), jnp.float32)
+        at(cont_s)[...] = jnp.zeros((1, p), jnp.int32)
         sat_s[sl] = 0
 
     lo = lo_ref[s]
@@ -208,7 +217,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
 
         @pl.when(gate)
         def _(s0=s0):
-            tau = tau_s[sl]  # [1,P]
+            tau = at(tau_s)[...]  # [1,P]
             data = packed_ref[s0:s0 + sub, :]  # [SUB,16] static slice
             # [SUB,1] row iota: the segment membership test is row-constant,
             # so keep it narrow and let broadcasting pay only one [SUB,P] op
@@ -221,7 +230,7 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             contribute = m1 & (tau_ex >= TAU_STOP)  # (F.6.4)
             wgt = jnp.where(contribute, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
-            img_s[sl] = img_s[sl] + jax.lax.dot_general(
+            at(img_s)[...] = at(img_s)[...] + jax.lax.dot_general(
                 colc, wgt, (((0,), (0,)), ((), ())), precision=_DOT,
                 preferred_element_type=jnp.float32,
             )  # [3,P]
@@ -232,20 +241,20 @@ def forward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # reduce-prod primitive). A log-space MXU variant of this
             # forward scan was REJECTED on the r4 chip A/B (see LOG_SCAN).
             new_tau = tau * _prod_reduce(jnp.where(contribute, 1.0 - ap, 1.0))
-            tau_s[sl] = new_tau
+            at(tau_s)[...] = new_tau
             sat_s[sl] = (jnp.max(new_tau) < TAU_STOP).astype(jnp.int32)
             idx1 = pos_ref[s] + (subc - lo) + 1  # 1-based position in tile list
-            cont_s[sl] = jnp.maximum(
-                cont_s[sl],
+            at(cont_s)[...] = jnp.maximum(
+                at(cont_s)[...],
                 jnp.max(jnp.where(contribute, idx1, 0), axis=0, keepdims=True),
             )
 
     # Write the tile's outputs once, at its last segment.
     @pl.when(last_ref[s] == 1)
     def _():
-        img_ref[0] = img_s[sl]
-        tau_ref[0] = tau_s[sl]
-        cont_ref[0] = cont_s[sl]
+        img_ref[0] = at(img_s)[...]
+        tau_ref[0] = at(tau_s)[...]
+        cont_ref[0] = at(cont_s)[...]
 
 
 def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
@@ -269,8 +278,12 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     i = pl.program_id(0)
     rs = q_total - 1 - i  # segments are visited back-to-front
     t = tile_ref[rs]
-    sl = slot_ref[rs]
-    n_slots = tau_s.shape[0]
+    multi = tau_s.ndim == 3  # interleaved: one carry per stream
+    n_slots = tau_s.shape[0] if multi else 1
+    sl = slot_ref[rs] if multi else 0
+
+    def at(ref):
+        return ref.at[sl] if multi else ref
     px, py, ox, oy = _pixel_coords(t, gx, tile, p)
     q = _pix_basis(px, py, p)
 
@@ -285,8 +298,8 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
     # (B.2.2; drawB kernel.cu:899-916).
     @pl.when(last_ref[rs] == 1)
     def _():
-        tau_s[sl] = tau_ref[0]
-        gag_s[sl] = jnp.zeros((1, p), jnp.float32)
+        at(tau_s)[...] = tau_ref[0]
+        at(gag_s)[...] = jnp.zeros((1, p), jnp.float32)
 
     # First reverse visit of this chunk: zero its gradient block (revisited
     # across this chunk's segments; masked writes accumulate into it). The
@@ -343,7 +356,7 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             m = rowmask & (idx0 < cont) & (ap >= ALPHA_SKIP)
 
             one_m = jnp.where(m, 1.0 - ap, 1.0)
-            tau_end = tau_s[sl]
+            tau_end = at(tau_s)[...]
             if LOG_SCAN:
                 # suffix product + division in log space: the 7-round
                 # sublane Hillis-Steele scan and the [SUB,P] divide become
@@ -358,11 +371,11 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
                 ).astype(jnp.float32)
                 lsfx = _tri_dot(tri_ge, lg)  # [SUB,P] incl. suffix sum of logs
                 tau_ex = tau_end * jnp.exp(-lsfx)
-                tau_s[sl] = tau_end * jnp.exp(-lsfx[0:1, :])
+                at(tau_s)[...] = tau_end * jnp.exp(-lsfx[0:1, :])
             else:
                 sfx = suffix_prod_inclusive(one_m)  # [SUB,P] (B.2.1)
                 tau_ex = tau_end / sfx      # T_{k-1} per entry (B.2.1; drawB division)
-                tau_s[sl] = tau_end / sfx[0:1, :]
+                at(tau_s)[...] = tau_end / sfx[0:1, :]
 
             contr = jnp.where(m, tau_ex * ap, 0.0)  # [SUB,P]
             colc = data[:, 6:9]  # [SUB,3]
@@ -377,14 +390,14 @@ def backward_kernel(chunk_ref, tile_ref, lo_ref, hi_ref, pos_ref, first_ref,
             # MXU contraction ([SUB,SUB] x [SUB,P]): the 7-round sublane
             # Hillis-Steele scan was ~1/6 of the kernel's VPU time, and a
             # linear map belongs on the systolic array
-            gag = gag_s[sl]
+            gag = at(gag_s)[...]
             tri = (
                 jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
                 > jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
             ).astype(jnp.float32)
             Gg = _tri_dot(tri, cgw) + gag
             # Gg[0] = gag + sum_{j>0} cgw[j], so the new carry is free:
-            gag_s[sl] = Gg[0:1, :] + cgw[0:1, :]
+            at(gag_s)[...] = Gg[0:1, :] + cgw[0:1, :]
 
             # dL/dalpha' (B.1.2), then the alpha'-decomposition masks (B.3)
             dap = jnp.where(m, tau_ex * cg - Gg / jnp.maximum(1.0 - ap, 1e-6), 0.0)

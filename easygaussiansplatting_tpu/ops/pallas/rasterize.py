@@ -61,13 +61,23 @@ def _fwd_call(packed, meta, *, n_tiles, gx, tile, k, interpret, n_slots=1):
             pl.BlockSpec((1, 1, p), out_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), out_map, memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            # one blend state per interleave stream (n_slots = 1 when off)
-            pltpu.VMEM((n_slots, 3, p), jnp.float32),   # tile color accum
-            pltpu.VMEM((n_slots, 1, p), jnp.float32),   # transmittance
-            pltpu.VMEM((n_slots, 1, p), jnp.int32),     # contributor counts
-            pltpu.SMEM((n_slots,), jnp.int32),          # tile-saturated flag
-        ],
+        scratch_shapes=(
+            # one blend state per interleave stream; the n_slots == 1 layout
+            # stays 2D and statically indexed — BIT-IDENTICAL kernel
+            # structure to r4 (a [1, ...] leading dim + indexed access was
+            # implicated in >15 min Mosaic compile stalls, r5)
+            [
+                pltpu.VMEM((n_slots, 3, p), jnp.float32),
+                pltpu.VMEM((n_slots, 1, p), jnp.float32),
+                pltpu.VMEM((n_slots, 1, p), jnp.int32),
+                pltpu.SMEM((n_slots,), jnp.int32),
+            ] if n_slots > 1 else [
+                pltpu.VMEM((3, p), jnp.float32),   # tile color accumulator
+                pltpu.VMEM((1, p), jnp.float32),   # transmittance
+                pltpu.VMEM((1, p), jnp.int32),     # contributor counts
+                pltpu.SMEM((1,), jnp.int32),       # tile-saturated flag
+            ]
+        ),
     )
     return pl.pallas_call(
         kern,
@@ -122,8 +132,8 @@ def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
             ),
         ]
         scratch = [
-            pltpu.VMEM((1, 1, p), jnp.float32),  # transmittance carry
-            pltpu.VMEM((1, 1, p), jnp.float32),  # accumulated color-grad carry
+            pltpu.VMEM((1, p), jnp.float32),  # transmittance carry
+            pltpu.VMEM((1, p), jnp.float32),  # accumulated color-grad carry
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(_META_KEYS) + len(extra),
@@ -264,11 +274,12 @@ def _sort_reduce_grads(rows_ct, gsafe, live, gsid_counts, n):
         # since the r4 on-chip A/B (+0.24..0.29 Mpix/s in every pairing;
         # winner combo 14.97 vs 14.68 without); EGS_GRAD_PERM=0 restores
         # the 10-column payload sort.
-        # EGS_XLA_GRAD_SORT: r5 probe — the r5 bisect measured XLA's
-        # single-key sort_key_val at ~0.9 ms/573k keys vs ~2.3 ms for the
-        # Pallas bitonic network that was chosen in r3 (when XLA measured
-        # 4.4 ms/1M); if it wins in-context the default flips.
-        if env_flag("EGS_XLA_GRAD_SORT"):
+        # EGS_XLA_GRAD_SORT (DEFAULT ON since the r5 on-chip A/B: 15.26
+        # vs 14.97 Mpix/s): XLA's single-key radix sort_key_val measured
+        # ~0.9 ms/573k keys in the r5 bisect vs ~2.3 ms for the Pallas
+        # bitonic network chosen in r3 — XLA's sort improved since the
+        # r3-era 4.4 ms/1M measurement. =0 restores the network.
+        if env_flag("EGS_XLA_GRAD_SORT", default=True):
             skey, pos = jax.lax.sort_key_val(
                 key, jnp.arange(m, dtype=jnp.int32))
         else:

@@ -46,9 +46,9 @@ VARIANTS = [
     # sort_key_val it replaces — aborted on-chip in r4, re-probe after fix
     ("radix", {"EGS_RADIX_SORT": "1"}),
     ("radixred", {"EGS_RADIX_REDUCE": "1"}),
-    # r5 probes: XLA single-key sort_key_val measured ~0.9 ms/573k in the r5
-    # bisect vs ~2.3 ms for the Pallas bitonic the r3 grad reduce chose
-    ("xla_grad_sort", {"EGS_XLA_GRAD_SORT": "1"}),
+    # XLA sort_key_val in the grad reduce is DEFAULT ON since the r5 A/B
+    # (15.26 vs 14.97); this regression row turns it back off
+    ("no_xla_grad_sort", {"EGS_XLA_GRAD_SORT": "0"}),
     # ungated sub-chunks probe: REMOVED from the standing sweep — its fully
     # unrolled kernels stalled the tunnel compiler >17 min on-chip (killed;
     # same failure mode as the 80 MB HLO program in CLAUDE.md). The flag
@@ -56,10 +56,13 @@ VARIANTS = [
     # r5: tile-interleaved segment order — consecutive grid steps carry
     # independent per-tile blend states so the backward's serial tau chain
     # stops stalling the units between steps (kernels.py / segment_layout)
-    ("il2", {"EGS_INTERLEAVE": "2"}),
-    ("il4", {"EGS_INTERLEAVE": "4"}),
-    ("il2_xgs", {"EGS_INTERLEAVE": "2", "EGS_XLA_GRAD_SORT": "1"}),
-    ("il4_xgs", {"EGS_INTERLEAVE": "4", "EGS_XLA_GRAD_SORT": "1"}),
+    # EGS_INTERLEAVE: MEASURED NEGATIVE (r5 probe_interleave.py, same
+    # session as the 35.2 ms baseline): il2 step 36.3 ms / fwd 18.5 ms —
+    # cross-step independence does not help (Mosaic runs grid steps
+    # sequentially, no cross-iteration compute overlap) and the per-stream
+    # grad writeback adds ~1 ms. NOT in the sweep: the P>1 kernels'
+    # dynamic-slot Mosaic compile can stall the tunnel >15 min — re-measure
+    # with scripts/probe_interleave.py under its own timeout instead.
 ]
 
 

@@ -9,7 +9,7 @@ echo "=== chip session start $(date) ==="
 echo "--- base bench ---"
 timeout 3000 python bench.py
 echo "--- A/B sweep ($(date)) ---"
-timeout 18000 python scripts/ab_bench.py | tee /tmp/ab_results.txt
+timeout 7200 python scripts/ab_bench.py --timeout 900 | tee /tmp/ab_results.txt
 echo "--- verify_gradients on defaults ($(date)) ---"
 timeout 3000 python verify_gradients.py > /tmp/verify_defaults.log 2>&1
 echo "verify defaults rc=$? ($(grep -c OK /tmp/verify_defaults.log) OK)"
