@@ -70,7 +70,9 @@ def main():
     # images/grads; the drop_check below enforces it). EGS_MAX_PATCHES
     # probes other budgets.
     max_patches = int(os.environ.get("EGS_MAX_PATCHES", "573440")) if on_tpu else 2**14
-    max_rows = 262144 if on_tpu else None  # rows ~ patches / mean splat width
+    # rows ~ patches / mean splat width; every latency-bound L1 stage scales
+    # with this STATIC budget too (EGS_MAX_ROWS probes tighter rungs)
+    max_rows = int(os.environ.get("EGS_MAX_ROWS", "262144")) if on_tpu else None
 
     @jax.jit
     def step(params, gt):

@@ -38,6 +38,11 @@ VARIANTS = [
     ("sub128", {"EGS_SUB": "128"}),
     ("budget589824", {"EGS_MAX_PATCHES": "589824"}),  # trainer-ladder rung
     ("budget688128", {"EGS_MAX_PATCHES": "688128"}),  # old r3 default
+    # r5: one rung tighter (34*16384; the bench scene's 549k true patches
+    # still fit) and a tighter row budget (14*16384 >= the scene's true
+    # rows) — every latency-bound stage scales with the static budgets
+    ("budget557056", {"EGS_MAX_PATCHES": "557056"}),
+    ("b557_rows229", {"EGS_MAX_PATCHES": "557056", "EGS_MAX_ROWS": "229376"}),
     ("kchunk1024", {"EGS_KCHUNK": "1024"}),
     # fused preprocess is DEFAULT ON for TPU since the r4 A/B (15.19 vs
     # 14.99); this variant measures its removal (the stages chain)

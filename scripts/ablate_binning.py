@@ -41,25 +41,29 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
     f32 = jnp.float32
 
     def run():
+        # every stage APPENDS to out (replacing it would let XLA dead-code
+        # eliminate earlier stages: the r5 first run measured prefix 10 at
+        # -3.2 ms because dropping gsid_sorted from the outputs deleted the
+        # patch sort)
         out = []
         # 1: depth sort
         fkeys = jnp.where(valid, depths, jnp.inf)
         keys = jax.lax.bitcast_convert_type(fkeys, jnp.int32)
         _, order = jax.lax.sort_key_val(keys, jnp.arange(N, dtype=jnp.int32))
-        out = [order[-1]]
+        out.append(order[-1])
         if k_stage >= 2:  # rect build + gathers into depth order
             rects, valid2 = gaussian_rects(us, areas, valid, W, H)
             rects_s = rects[order]
             valid_s = valid2[order] & (
                 jax.lax.stop_gradient(alphas)[order] >= ALPHA_SKIP)
-            out = [rects_s[-1, 0], valid_s[-1]]
+            out += [rects_s[-1, 0], valid_s[-1]]
         if k_stage >= 3:  # row counts + rstart
             y0, y1 = rects_s[:, 1], rects_s[:, 3]
             row_counts = jnp.where(valid_s, y1 - y0, 0).astype(jnp.int32)
             rcum = jnp.cumsum(row_counts)
             rstart = rcum - row_counts
             total_rows = rcum[-1]
-            out = [total_rows]
+            out.append(total_rows)
         if k_stage >= 4:  # L1 propagate (2 scatters + batched cumsum)
             mr = jnp.arange(MAXR, dtype=jnp.int32)
             rows_ok = mr < jnp.minimum(total_rows, MAXR)
@@ -69,7 +73,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
             ])
             row_ty = ty0_prop + mr
             row_gs = jnp.clip(row_ord, 0, N - 1)
-            out = [row_ty[-1], row_gs[-1]]
+            out += [row_ty[-1], row_gs[-1]]
         if k_stage >= 5:  # gtab build + row gather
             usg = jax.lax.stop_gradient(us).astype(f32)
             cg_ = jax.lax.stop_gradient(cinv2ds).astype(f32)
@@ -80,7 +84,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
                 [usg, cg_, r2[:, None], rects[:, 0:1].astype(f32),
                  rects[:, 2:3].astype(f32)], axis=1)
             g = jnp.take(gtab, row_gs, axis=0)
-            out = [g[-1, 0]]
+            out.append(g[-1, 0])
         if k_stage >= 6:  # per-row ellipse extents
             ux, uy, ca, cb, cc = g[:, 0], g[:, 1], g[:, 2], g[:, 3], g[:, 4]
             r2r, rx0_aabb, rx1_aabb = g[:, 5], g[:, 6], g[:, 7]
@@ -102,7 +106,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
             rx0 = ex0.astype(jnp.int32)
             row_w = jnp.where(rows_ok & (disc >= 0),
                               (ex1 - ex0).astype(jnp.int32), 0)
-            out = [row_w[-1]]
+            out.append(row_w[-1])
         if k_stage >= 7:  # wcum + start2/base + tile counts/bounds
             wcum = _scan1(row_w)
             total = wcum[-1]
@@ -117,7 +121,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
             tile_cnt = jnp.sum(covered, axis=1, dtype=jnp.int32)
             tcum = jnp.cumsum(tile_cnt)
             tile_start = tcum - tile_cnt
-            out = [tile_start[-1], base[-1]]
+            out += [tile_start[-1], base[-1]]
         if k_stage >= 8:  # L2 propagate + key build
             m = jnp.arange(MAXP, dtype=jnp.int32)
             in_range = m < kept
@@ -127,7 +131,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
             ])
             tile_id = jnp.where(in_range, prop_base + m, NT).astype(jnp.int32)
             gsid = jnp.where(in_range, prop_ord, -1)
-            out = [tile_id[-1], gsid[-1]]
+            out += [tile_id[-1], gsid[-1]]
         if k_stage >= 9:  # the patch sort
             mp_bits = (MAXP - 1).bit_length()
             sign = jnp.uint32(1 << 31)
@@ -135,7 +139,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
                      | m.astype(jnp.uint32))
             key = jax.lax.bitcast_convert_type(key_u ^ sign, jnp.int32)
             key_sorted, gsid_sorted = jax.lax.sort_key_val(key, gsid)
-            out = [gsid_sorted[-1]]
+            out += [gsid_sorted[-1], key_sorted[-1]]
         if k_stage >= 10:  # gsid_counts chain
             from easygaussiansplatting_tpu.ops.pallas.sort import sort_pairs
 
@@ -145,7 +149,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
                 wcum_pad[jnp.clip(rstart + row_counts, 0, MAXR)], kept)
             count_sorted = (hi_cnt - lo_cnt).astype(jnp.int32)
             _, by_id = sort_pairs(order, count_sorted)
-            out = [by_id[-1]]
+            out.append(by_id[-1])
         if k_stage >= 11:  # segment layout
             binning = {
                 "tile_start": tile_start,
@@ -153,7 +157,7 @@ def build_prefix(k_stage, us, depths, areas, valid, cinv2ds, alphas):
                 "patch_gsid": gsid_sorted,
             }
             meta = segment_layout(binning, k_chunk=512, n_tiles=NT)
-            out = [meta["seg_tile"][-1]]
+            out.append(meta["seg_tile"][-1])
         return jnp.stack([jnp.asarray(o, jnp.float32).reshape(())
                           for o in out]).sum()
 

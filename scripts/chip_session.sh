@@ -40,7 +40,9 @@ timeout 3600 python scripts/bench_scene.py > /tmp/bench_scene_r5.log 2>&1
 echo "bench_scene rc=$? : $(tail -2 /tmp/bench_scene_r5.log | head -1)"
 tail -1 /tmp/bench_scene_r5.log
 echo "--- truck-scale proxy, --realism preset ($(date)) ---"
-timeout 3600 python scripts/bench_scene.py --realism > /tmp/bench_scene_r5_realism.log 2>&1
+# epoch cap 80: the 25-crossing lands at ~epoch 63 (r5 oracle b);
+# the old 60-epoch cap stopped three epochs short of the target
+timeout 3600 python scripts/bench_scene.py --realism --epochs 80 > /tmp/bench_scene_r5_realism.log 2>&1
 echo "bench_scene --realism rc=$? : $(tail -1 /tmp/bench_scene_r5_realism.log)"
 echo "--- realism-wall oracle (b): 2x capacity + 100 epochs ($(date)) ---"
 timeout 7200 python scripts/bench_scene.py --realism --cap-factor 10 --epochs 100 \
