@@ -62,17 +62,17 @@ def main():
     import os
 
     k_chunk = int(os.environ.get("EGS_KCHUNK", "512"))
-    # 573440 = 35*16384, ~1.045x headroom over the scene's 549k patches —
-    # the r4 phase-3 A/B winner (14.97 vs 14.85 @589824, 13.63 @688128).
-    # Every latency-bound stage (tile sort, sort-reduce, scan chains)
-    # scales with the STATIC budget, not the true patch count, and any
-    # budget >= the scene's true patches drops nothing (identical
-    # images/grads; the drop_check below enforces it). EGS_MAX_PATCHES
-    # probes other budgets.
-    max_patches = int(os.environ.get("EGS_MAX_PATCHES", "573440")) if on_tpu else 2**14
+    # 557056 = 34*16384, ~1.015x headroom over the scene's 549k patches —
+    # the r5 A/B winner with the 229376-row budget (15.72 vs 15.32 at the
+    # r4 pair 573440/262144; 557056 alone 15.45). Every latency-bound
+    # stage (tile sort, sort-reduce, scan chains) scales with the STATIC
+    # budgets, not the true counts, and any budget >= the scene's true
+    # patches/rows drops nothing (identical images/grads; the drop_check
+    # below enforces it). EGS_MAX_PATCHES / EGS_MAX_ROWS probe others.
+    max_patches = int(os.environ.get("EGS_MAX_PATCHES", "557056")) if on_tpu else 2**14
     # rows ~ patches / mean splat width; every latency-bound L1 stage scales
-    # with this STATIC budget too (EGS_MAX_ROWS probes tighter rungs)
-    max_rows = int(os.environ.get("EGS_MAX_ROWS", "262144")) if on_tpu else None
+    # with this STATIC budget too (14*16384 >= the scene's true rows)
+    max_rows = int(os.environ.get("EGS_MAX_ROWS", "229376")) if on_tpu else None
 
     @jax.jit
     def step(params, gt):

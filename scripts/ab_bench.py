@@ -30,19 +30,19 @@ import time
 # defaults: each row turns one winner OFF (guards against a future change
 # silently inverting a measured verdict) or probes a still-open variant.
 VARIANTS = [
-    # name, env overrides (on top of the tree's defaults = the r4 winners:
-    # budget 573440, SUB=64, log-scan bwd, grad_perm, k_chunk 512)
+    # name, env overrides (on top of the tree's defaults = the r5 winners:
+    # budgets 557056/229376, SUB=64, log-scan bwd, grad_perm,
+    # XLA grad sort, k_chunk 512)
     ("base", {}),
     ("no_logscan", {"EGS_LOG_SCAN": "0"}),
     ("no_gradperm", {"EGS_GRAD_PERM": "0"}),
     ("sub128", {"EGS_SUB": "128"}),
     ("budget589824", {"EGS_MAX_PATCHES": "589824"}),  # trainer-ladder rung
     ("budget688128", {"EGS_MAX_PATCHES": "688128"}),  # old r3 default
-    # r5: one rung tighter (34*16384; the bench scene's 549k true patches
-    # still fit) and a tighter row budget (14*16384 >= the scene's true
-    # rows) — every latency-bound stage scales with the static budgets
-    ("budget557056", {"EGS_MAX_PATCHES": "557056"}),
-    ("b557_rows229", {"EGS_MAX_PATCHES": "557056", "EGS_MAX_ROWS": "229376"}),
+    # r5 WINNERS, now the bench defaults (557056 = 34*16384 patches +
+    # 229376 = 14*16384 rows: 15.72 vs 15.32 at the r4 budgets); these
+    # regression rows restore the r4 pair
+    ("b573_rows262", {"EGS_MAX_PATCHES": "573440", "EGS_MAX_ROWS": "262144"}),
     ("kchunk1024", {"EGS_KCHUNK": "1024"}),
     # fused preprocess is DEFAULT ON for TPU since the r4 A/B (15.19 vs
     # 14.99); this variant measures its removal (the stages chain)

@@ -31,7 +31,7 @@ from easygaussiansplatting_tpu.ops.loss import gau_loss
 from easygaussiansplatting_tpu.ops.rasterize import render
 
 W, H, N = 979, 546, 65536
-MAXP, MAXR, K = 573440, 262144, 512  # the r4-landed defaults
+MAXP, MAXR, K = 557056, 229376, 512  # the r5-landed defaults
 
 
 def timeit(label, fn, *args, iters=10, trials=3):
