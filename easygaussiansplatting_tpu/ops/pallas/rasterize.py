@@ -339,10 +339,9 @@ def rasterize_pallas(us, cinv2ds, alphas, colors, binning, *, width, height,
     # tile streams so consecutive grid steps carry independent blend states
     # — the per-tile transmittance chain's serial latency stops stalling
     # the units between steps (see binning.segment_layout / kernels.py).
-    from easygaussiansplatting_tpu.utils.envflag import env_flag as _ef
-    import os as _osl
+    import os as _os
 
-    interleave = int(_osl.environ.get("EGS_INTERLEAVE", "1"))
+    interleave = int(_os.environ.get("EGS_INTERLEAVE", "1"))
     meta = dict(segment_layout(binning, k_chunk=k_chunk, n_tiles=n_tiles,
                                interleave=interleave))
     # per-gaussian patch counts ride along for the backward's sort-reduce
