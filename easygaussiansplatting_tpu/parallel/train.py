@@ -218,6 +218,133 @@ def make_sharded_train_step(mesh, config, scene_size, max_steps):
     return step
 
 
+def make_banded_train_step(mesh, config, scene_size, max_steps):
+    """Single-camera training step sharded by TILE-ROW BANDS over ALL mesh
+    devices — the batch < data-axis case of SURVEY §2.9's "image tiles
+    sharded for stage 6" (make_sharded_train_step idles devices when the
+    batch is smaller than the data axis; this step uses every device on
+    ONE image).
+
+    Each device renders its contiguous band of tile rows PLUS a 16-px halo
+    on each side and computes the per-pixel L1/SSIM terms locally; band
+    sums are psum'd and normalised globally. The decomposition is EXACT:
+    the loss's SSIM is a zero-padded SAME 11x11 blur (ops/loss.py), so a
+    pixel's ssim_map value depends only on image rows within +-5 — inside
+    the halo — and rows outside the true image are masked to zero exactly
+    like the global blur's zero padding truncates there. Gradients flow
+    through the per-band custom_vjp rasterisations; shard_map's transpose
+    psums the replicated-input cotangents across bands (the band analogue
+    of the batch gradient reduction).
+
+    Returns step(pool, adam_state, stats, cam, gt_image [3,H,W])
+    -> (pool, adam_state, stats, loss).
+    """
+    from easygaussiansplatting_tpu.ops.loss import (
+        _depthwise_blur, _gaussian_window,
+    )
+
+    lr_fns = make_lr_fns(config, scene_size, max_steps)
+    k_chunk, n_chunks = config.raster_chunks()
+    ndev = int(mesh.devices.size)
+    axes = tuple(mesh.axis_names)
+    tile = config.tile
+    halo = 16  # one tile row >= the SSIM window radius (5)
+    keff = max(128, 1 << (int(k_chunk) - 1).bit_length())
+    share = -(-config.max_patches * 5 // (2 * max(ndev, 1)))
+    mp = max(keff, -(-share // keff) * keff)
+    mrows = (None if config.max_rows is None
+             else max(1, -(-config.max_rows * 5 // (2 * max(ndev, 1)))))
+
+    @jax.jit
+    def step(pool, adam_state, stats, cam, gt_image):
+        params = pool.params()
+        params = jax.lax.with_sharding_constraint(params, pool_shardings(mesh, params))
+        us_offset = jnp.zeros((pool.capacity, 2), jnp.float32)
+        h, w = cam.height, cam.width
+        gy = -(-h // tile)
+        sub_h = -(-gy // ndev) * tile
+        h_loc = sub_h + 2 * halo
+        npix = 3 * h * w
+
+        def band_loss(us, cinv2ds, al, colors, depths, areas, valid, gt):
+            d = jax.lax.axis_index(axes[0])
+            for ax in axes[1:]:
+                d = d * mesh.shape[ax] + jax.lax.axis_index(ax)
+            y0 = d * sub_h - halo  # global row of local row 0 (may be < 0)
+            us_b = us - jnp.stack([jnp.zeros((), us.dtype),
+                                   y0.astype(us.dtype)])
+            image, _ = raster_from_aux(
+                us_b, cinv2ds, al, colors, depths, areas, valid,
+                width=w, height=h_loc, backend=config.backend, tile=tile,
+                max_patches=mp, max_rows=mrows, k_chunk=k_chunk,
+                n_chunks=n_chunks,
+            )
+            # rows outside the true image must be ZERO on both operands —
+            # that is exactly the global blur's zero padding there
+            gyrow = y0 + jnp.arange(h_loc)
+            in_img = ((gyrow >= 0) & (gyrow < h))[None, :, None]
+            image = jnp.where(in_img, image, 0.0)
+            gt_b = jax.lax.dynamic_slice(
+                jnp.pad(gt, ((0, 0), (halo, sub_h * ndev + halo - h), (0, 0))),
+                (0, d * sub_h, 0), (3, h_loc, w),
+            )
+            owned = (in_img & ((gyrow >= d * sub_h)
+                               & (gyrow < (d + 1) * sub_h))[None, :, None])
+
+            l1_sum = jnp.sum(jnp.where(owned, jnp.abs(image - gt_b), 0.0))
+            window = _gaussian_window()
+            mu1 = _depthwise_blur(image, window)
+            mu2 = _depthwise_blur(gt_b, window)
+            mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+            s1 = _depthwise_blur(image * image, window) - mu1_sq
+            s2 = _depthwise_blur(gt_b * gt_b, window) - mu2_sq
+            s12 = _depthwise_blur(image * gt_b, window) - mu1_mu2
+            c1, c2 = 0.01**2, 0.03**2
+            smap = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+                (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+            ssim_sum = jnp.sum(jnp.where(owned, smap, 0.0))
+            l1_sum = jax.lax.psum(l1_sum, axes)
+            ssim_sum = jax.lax.psum(ssim_sum, axes)
+            lam = config.loss_lambda
+            return ((1.0 - lam) * l1_sum / npix
+                    + lam * (1.0 - ssim_sum / npix))
+
+        banded = jax.shard_map(
+            band_loss, mesh=mesh, in_specs=(P(),) * 8, out_specs=P(),
+            check_vma=False,
+        )
+
+        def loss_fn(params, us_offset):
+            p = pool.replace_params(params)
+            pws, shs, alphas, scales, rots, alive = p.activated()
+            aux = stages.preprocess(
+                pws, shs, alphas, scales, rots, cam, alive=alive,
+                sh_degree=config.sh_degree,
+            )
+            us = aux["us"] + us_offset
+            loss = banded(
+                us, aux["cinv2ds"], aux["alphas"], aux["colors"],
+                aux["depths"], aux["areas"], aux["valid"], gt_image,
+            )
+            return loss, aux["depths"]
+
+        (loss, depths), (gparams, g_us) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, us_offset)
+        new_params, adam_state = adam_update(
+            gparams, adam_state, params, lr_fns,
+            b1=config.adam_b1, b2=config.adam_b2, eps=config.adam_eps,
+        )
+        new_params = jax.lax.with_sharding_constraint(
+            new_params, pool_shardings(mesh, new_params)
+        )
+        visible = (depths >= 0.2) & pool.alive
+        stats = update_density_stats(stats, g_us, visible)
+        return pool.replace_params(new_params), adam_state, stats, loss
+
+    return step
+
+
 def make_sharded_render(mesh, config, *, tile_sharded=None, with_aux=False):
     """Jitted whole-image render of a (sharded) pool for eval/inference.
 

@@ -37,6 +37,11 @@ VARIANTS = [
     ("no_logscan", {"EGS_LOG_SCAN": "0"}),
     ("no_gradperm", {"EGS_GRAD_PERM": "0"}),
     ("sub128", {"EGS_SUB": "128"}),
+    # never probed at the r5 defaults: SUB=32's 88.3% occupancy + 5 scan
+    # rounds lost at r3 (12.96) to per-block fixed cost — the landed
+    # log-scan/perm/budget stack may have changed the balance
+    ("sub32", {"EGS_SUB": "32"}),
+    ("kchunk256", {"EGS_KCHUNK": "256"}),
     ("budget589824", {"EGS_MAX_PATCHES": "589824"}),  # trainer-ladder rung
     ("budget688128", {"EGS_MAX_PATCHES": "688128"}),  # old r3 default
     # r5 WINNERS, now the bench defaults (557056 = 34*16384 patches +

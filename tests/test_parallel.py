@@ -163,6 +163,49 @@ def test_tile_sharded_render_tall_image():
     )
 
 
+def test_banded_train_step_matches_single():
+    """make_banded_train_step (one camera over ALL devices via tile-row
+    bands, halo'd exact L1+SSIM decomposition) must reproduce the plain
+    batched step at B=1: loss, parameters, densify stats."""
+    import dataclasses
+
+    from easygaussiansplatting_tpu.parallel.train import make_banded_train_step
+
+    cfg = dataclasses.replace(CONFIG, max_patches=2**13)
+    scene = make_synthetic_scene(seed=13, n_gaussians=192, n_cams=2,
+                                 width=48, height=112)  # gy = 7 strips / 8 dev
+    pool = pool_from_arrays(
+        scene["pws"], scene["rots"], scene["scales"], scene["alphas"],
+        scene["shs"], capacity=192,
+    )
+    gts = render_gt_images(scene, cfg)
+    cam, gt = scene["cameras"][0], jnp.asarray(gts[0])
+
+    # reference: the batched step at B=1 on a single device
+    mesh1 = make_mesh(1)
+    step1 = make_sharded_train_step(mesh1, cfg, scene["scene_size"], max_steps=50)
+    adam1 = adam_init(pool.params())
+    stats1 = density_stats_init(pool.capacity)
+    bcam = stack_cameras([cam])
+    p1, a1, s1, loss1 = step1(pool, adam1, stats1, bcam, gt[None])
+
+    mesh8 = make_mesh(8)
+    stepb = make_banded_train_step(mesh8, cfg, scene["scene_size"], max_steps=50)
+    pool8, adam8, stats8 = shard_pool(mesh8, pool, adam_init(pool.params()),
+                                      density_stats_init(pool.capacity))
+    pb, ab, sb, lossb = stepb(pool8, adam8, stats8, cam, gt)
+
+    np.testing.assert_allclose(float(lossb), float(loss1), rtol=0, atol=2e-5)
+    for k, v in pb.params().items():
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(p1.params()[k]), atol=5e-5, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(sb.grad_accum), np.asarray(s1.grad_accum), atol=1e-5
+    )
+    assert (np.asarray(sb.cunt) == np.asarray(s1.cunt)).all()
+
+
 def test_collective_accounting_tile_sharded_render():
     """The banded render's only collectives: per-attribute all-gathers over
     gs (each band owner needs the full attribute table) and the tiny
