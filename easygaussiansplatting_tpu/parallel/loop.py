@@ -37,13 +37,25 @@ from easygaussiansplatting_tpu.utils.image import psnr
 
 def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None,
                   seed=0, log_fn=print, eval_every=10, epoch_cb=None,
-                  adam_state=None, stats=None, start_epoch=0, key=None):
+                  adam_state=None, stats=None, start_epoch=0, key=None,
+                  banded=False):
     """Full training over a device mesh. Pass adam_state/stats/start_epoch/key
     (from train.checkpoint.load_checkpoint) to resume. Returns
-    (pool, history)."""
-    if batch is None:
+    (pool, history).
+
+    ``banded=True`` trains ONE camera per step with stage 6 sharded by
+    tile-row bands over the whole mesh (make_banded_train_step) — the
+    batch < data-axis configuration where the batched step would idle
+    devices. Single-host only.
+    """
+    if banded:
+        if jax.process_count() > 1:
+            raise ValueError("banded training is single-host (bands psum "
+                             "over the whole mesh)")
+        batch = 1
+    elif batch is None:
         batch = mesh.shape["data"]
-    if batch % mesh.shape["data"] != 0:
+    if not banded and batch % mesh.shape["data"] != 0:
         raise ValueError(
             f"batch {batch} must be a multiple of the data axis {mesh.shape['data']}"
         )
@@ -63,7 +75,12 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
     n = len(cameras)
     steps_per_epoch = max(1, n // batch)
     max_steps = config.epochs * steps_per_epoch
-    step = make_sharded_train_step(mesh, config, scene_size, max_steps)
+    if banded:
+        from easygaussiansplatting_tpu.parallel.train import make_banded_train_step
+
+        step = make_banded_train_step(mesh, config, scene_size, max_steps)
+    else:
+        step = make_sharded_train_step(mesh, config, scene_size, max_steps)
     render_fn = make_sharded_render(mesh, config)
 
     buckets = defaultdict(list)
@@ -100,6 +117,13 @@ def train_sharded(pool, cameras, gt_images, config, scene_size, mesh, batch=None
         t0 = time.time()
         losses = []
         for idxs in _epoch_batches(buckets, batch, rng):
+            if banded:
+                i = idxs[0]
+                pool, adam_state, stats, loss = step(
+                    pool, adam_state, stats, cameras[i], gt_store[i]
+                )
+                losses.append(loss)
+                continue
             local = [idxs[r] for r in my_rows]
             bcam = put_batch(mesh, stack_cameras([cameras[i] for i in local]))
             if multihost:

@@ -248,7 +248,9 @@ def make_banded_train_step(mesh, config, scene_size, max_steps):
     ndev = int(mesh.devices.size)
     axes = tuple(mesh.axis_names)
     tile = config.tile
-    halo = 16  # one tile row >= the SSIM window radius (5)
+    # one tile row of halo; must cover the SSIM window radius (5)
+    assert tile >= 5, "band halo (one tile row) must cover the SSIM window"
+    halo = tile
     keff = max(128, 1 << (int(k_chunk) - 1).bit_length())
     share = -(-config.max_patches * 5 // (2 * max(ndev, 1)))
     mp = max(keff, -(-share // keff) * keff)

@@ -314,6 +314,39 @@ def test_train_sharded_epoch_driver():
     assert int(pool2.n_alive()) >= 48  # densify only grows on this scene
 
 
+def test_train_sharded_banded_driver():
+    """train_sharded(banded=True): the full epoch driver (densify,
+    alpha-reset, eval) over the banded single-camera step."""
+    import dataclasses
+
+    from easygaussiansplatting_tpu.parallel.loop import train_sharded
+
+    mesh = make_mesh(8)
+    scene = make_synthetic_scene(seed=9, n_gaussians=48, n_cams=3, width=32, height=32)
+    rng = np.random.default_rng(1)
+    pool = pool_from_arrays(
+        scene["pws"] + rng.normal(scale=0.05, size=scene["pws"].shape),
+        scene["rots"], scene["scales"], scene["alphas"], scene["shs"] * 0.5,
+        capacity=96,
+    )
+    gts = render_gt_images(scene, CONFIG)
+    cfg = dataclasses.replace(
+        CONFIG, epochs=3, densify_every_epochs=2, reset_alpha_every_epochs=5,
+        adaptive_budget=False,
+    )
+    pool2, history = train_sharded(
+        pool, scene["cameras"], gts, cfg, scene["scene_size"], mesh,
+        banded=True, log_fn=lambda m: None,
+    )
+    assert len(history["loss"]) == 3
+    assert np.isfinite(history["loss"]).all()
+    # densify at epoch 2 can transiently raise the loss (fresh clones);
+    # learning signal: the pre-densify epoch improves on epoch 1 (the
+    # banded-vs-batched equivalence itself is the parity test above)
+    assert history["loss"][1] < history["loss"][0]
+    assert int(pool2.n_alive()) >= 48
+
+
 def _collective_accounting(txt, gs_size, data_size):
     """Parse (op, axis-group-size, bytes) for every collective in HLO text.
 
