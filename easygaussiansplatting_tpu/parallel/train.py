@@ -364,9 +364,11 @@ def make_sharded_render(mesh, config, *, tile_sharded=None, with_aux=False):
       baseline (and the only choice for a 1-device mesh or non-Pallas
       backends, where plain GSPMD already partitions the tiled rasteriser).
 
-    Bands don't split patches evenly, so each device gets a patch budget of
-    ~2.5x the even share (``config.max_patches / n_devices``, rounded up to
-    the chunk size). ``with_aux=True`` additionally returns
+    Bands don't split patches evenly, so each device gets a patch budget
+    of 4x the even share (``config.max_patches / n_devices``), capped at
+    the full ``config.max_patches`` — concentrated scenes can put several
+    bands' worth of patches in one band, and an eval render must not
+    silently truncate. ``with_aux=True`` additionally returns
     ``{"n_dropped": total}`` (psum over devices) so callers can verify the
     band budgets didn't truncate; healthy scenes report 0.
     """
@@ -403,10 +405,12 @@ def make_sharded_render(mesh, config, *, tile_sharded=None, with_aux=False):
             # rasteriser requires max_patches % k_chunk == 0 after k_chunk
             # rounds up to a power of two >= 128)
             keff = max(128, 1 << (int(k_chunk) - 1).bit_length())
-            share = -(-config.max_patches * 5 // (2 * ndev))
-            mp = max(keff, -(-share // keff) * keff)
+            share = -(-config.max_patches * 4 // ndev)
+            mp = min(-(-config.max_patches // keff) * keff,
+                     max(keff, -(-share // keff) * keff))
             mrows = (None if config.max_rows is None
-                     else max(1, -(-config.max_rows * 5 // (2 * ndev))))
+                     else max(1, min(config.max_rows,
+                                     -(-config.max_rows * 4 // ndev))))
 
             def band(us, cinv2ds, al, colors, depths, areas, valid):
                 # flattened device index, data-major (must match the

@@ -268,7 +268,11 @@ def test_pallas_sharded_vs_single_realistic():
 
     from easygaussiansplatting_tpu.parallel.train import make_sharded_render
 
-    cfg = dataclasses.replace(CONFIG, max_patches=2**15)
+    # 2**16: the scene's true patch count exceeds 2**15 — at the old budget
+    # BOTH renders silently dropped the deepest patches identically, and the
+    # banded render (which does NOT overflow its per-band budgets) exposed
+    # the truncation by rendering the TRUE image (r5)
+    cfg = dataclasses.replace(CONFIG, max_patches=2**16)
     scene = make_synthetic_scene(
         seed=7, n_gaussians=4096, n_cams=2, width=176, height=176
     )
@@ -276,11 +280,22 @@ def test_pallas_sharded_vs_single_realistic():
         scene["pws"], scene["rots"], scene["scales"], scene["alphas"], scene["shs"],
         capacity=4096,
     )
-    img_1 = make_sharded_render(make_mesh(1), cfg)(pool, scene["cameras"][0])
+    img_1, aux_1 = make_sharded_render(make_mesh(1), cfg, with_aux=True)(
+        pool, scene["cameras"][0])
+    assert int(aux_1["n_dropped"]) == 0  # the comparison demands a
+    # drop-free budget: truncated operands can "agree" while both wrong
     mesh8 = make_mesh(8)  # (2, 4)
-    img_8 = make_sharded_render(mesh8, cfg)(shard_pool(mesh8, pool), scene["cameras"][0])
+    pool8 = shard_pool(mesh8, pool)
+    # the replicated raster: pure GSPMD-parity of the gs-sharded stages
+    img_8 = make_sharded_render(mesh8, cfg, tile_sharded=False)(
+        pool8, scene["cameras"][0])
     assert np.isfinite(np.asarray(img_8)).all()
     np.testing.assert_allclose(np.asarray(img_8), np.asarray(img_1), atol=2e-6)
+    # the banded default at this patch-dense scene: parity incl. drops=0
+    img_b, aux = make_sharded_render(mesh8, cfg, tile_sharded=True,
+                                     with_aux=True)(pool8, scene["cameras"][0])
+    assert int(aux["n_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_1), atol=2e-6)
 
 
 def test_train_sharded_epoch_driver():
