@@ -108,8 +108,9 @@ def _bwd_call(packed, meta, g_tiles, tau_tiles, cont_tiles,
     if inter:
         # tile-interleaved order: a chunk's segments are not adjacent, so
         # the grad block cannot ride the out-BlockSpec revisit pattern —
-        # per-stream scratch accumulates and the kernel DMAs each finished
-        # chunk block into the flat [GRAD_ROWS, M] output (memory space ANY)
+        # per-(chunk, stream) scratch accumulates and the kernel DMAs each
+        # finished block into its stream's plane of the [P, GRAD_ROWS, M]
+        # output (memory space ANY); planes merge below
         metas = [meta["bwd_zero" if kk == "chunk_tail" else kk]
                  for kk in _META_KEYS]
         extra = [meta["bwd_flush"], maxcont]

@@ -236,6 +236,10 @@ def make_banded_train_step(mesh, config, scene_size, max_steps):
     psums the replicated-input cotangents across bands (the band analogue
     of the batch gradient reduction).
 
+    Stages 1-5 run via the GSPMD stages path (not the fused Pallas
+    preprocess — acceptable: this step exists for the batch < data-axis
+    regime where stage-6 parallelism, not preprocess fusion, is the win).
+
     Returns step(pool, adam_state, stats, cam, gt_image [3,H,W])
     -> (pool, adam_state, stats, loss).
     """
